@@ -1,0 +1,46 @@
+"""Test harness config: run JAX on CPU with 8 virtual devices.
+
+Multi-chip sharding tests use a virtual CPU mesh — the TPU equivalent of a
+fake backend (the single real TPU chip behind the axon tunnel is reserved for
+bench.py).  Must run before the first jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+# the axon TPU plugin registers itself at interpreter startup and wins over
+# the env vars; force the CPU backend explicitly before it initializes
+jax.config.update("jax_platform_name", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def pretrained_tcnn_path():
+    path = os.path.join(REFERENCE_DIR, "pretrained", "pointnet_tcnn.ckpt")
+    if not os.path.exists(path):
+        pytest.skip("reference pretrained checkpoint not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def pretrained_torch_path():
+    path = os.path.join(REFERENCE_DIR, "pretrained", "pointnet.ckpt")
+    if not os.path.exists(path):
+        pytest.skip("reference pretrained checkpoint not available")
+    return path
