@@ -1,0 +1,72 @@
+"""Benchmark: fused depth frames/sec/chip on the lounge-like synthetic scene.
+
+Runs on the real TPU chip (default backend).  Measures the flagship hot path —
+per-frame local fusion of full 480x640 depth frames (back-projection, normals,
+PointNet corner encoding, hash insert, running-mean integrate) — matching the
+reference's "local fusion fps" phase timer (reference src/run_e2e.py:289-290).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the reference's end-to-end claim of 2-5 fps on a
+desktop GPU (reference README.md:17) — we compare to its upper bound, 5 fps.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu.config import load_config
+    from bnv_fusion_tpu.checkpoint import load_pretrained
+    from bnv_fusion_tpu.datasets import get_dataset
+    from bnv_fusion_tpu.pipeline import NeuralMap
+
+    cfg = load_config([
+        "model.voxel_size=0.02",
+        "dataset.num_images=48",
+        "dataset.img_res=[480,640]",
+        "model.table_capacity=2097152",
+    ])
+    ckpt = "/root/reference/pretrained/pointnet_tcnn.ckpt"
+    if os.path.exists(ckpt):
+        params = load_pretrained(ckpt)
+    else:
+        from bnv_fusion_tpu.nn import init_model
+        params = jax.tree.map(np.asarray, init_model(jax.random.key(0)))
+
+    ds = get_dataset(cfg, "val")
+    nm = NeuralMap(ds.dimensions, cfg, params)
+
+    # pre-render all depth frames on host so the timed loop is device work
+    frames = [ds[i] for i in range(len(ds))]
+
+    # warmup: compile + first frames
+    for f in frames[:4]:
+        nm.integrate(f)
+    jax.block_until_ready(nm.table.features)
+
+    timed = frames[4:]
+    t0 = time.time()
+    for f in timed:
+        nm.integrate(f)
+    jax.block_until_ready(nm.table.features)
+    dt = time.time() - t0
+    fps = len(timed) / dt
+
+    print(json.dumps({
+        "metric": "fused depth frames/sec/chip (480x640, synthetic lounge-like scene)",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 5.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

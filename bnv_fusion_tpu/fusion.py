@@ -1,0 +1,224 @@
+"""Local-level fusion: one jitted, fixed-shape per-frame integration step.
+
+TPU-native rebuild of LitFusionPointNet.encode_pointcloud + _integrate
+(reference src/models/fusion/local_point_fusion.py:81-151,647-673).  The
+reference runs: bound-mask -> 8-corner expand -> PointNet (tcnn CUDA) ->
+torch.unique + torch_scatter.scatter_mean -> min-pts filter -> HashMap
+query/insert with a running weighted mean.  Here the whole step is one XLA
+program with static shapes:
+
+1. mask points to the (padded) scene bounds,
+2. expand each point to its 8 voxel corners; encode (relative-offset, normal)
+   6-vectors with the PointNet MLP (MXU matmuls over an [8N, 6] batch),
+3. insert all corners into the sparse table (claim-round hash insert) — the
+   per-frame ``torch.unique`` disappears: deduplication IS the hash table,
+4. segment-mean by slot via two scatter-adds into capacity-sized accumulators,
+5. one dense vectorized pass over the table: weight = clip(count/32, 1),
+   drop voxels with fewer than min_pts_in_grid points, TSDF-style running
+   weighted mean against the stored latents.
+
+Numerics match the reference update exactly (same masking, same clipping,
+same mean) — voxels under the min-pts threshold occupy a slot here but keep
+zero weight/features, which decodes identically to "absent".
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bnv_fusion_tpu import nn as bnn
+from bnv_fusion_tpu import table as tbl
+from bnv_fusion_tpu import voxel
+
+
+class FrameStats(NamedTuple):
+    """Per-frame fusion statistics (device scalars).
+
+    ``n_avg_pts`` mirrors the reference's voxel-occupancy statistic
+    (src/models/fusion/local_point_fusion.py:143, sparse_volume.track_n_pts).
+    """
+
+    n_avg_pts: jnp.ndarray
+    n_touched: jnp.ndarray
+    n_valid_pts: jnp.ndarray
+
+
+def encode_corner_features(params: Dict[str, Any], pts_w: jnp.ndarray,
+                           normals: jnp.ndarray, valid: jnp.ndarray,
+                           bound_min: jnp.ndarray, bound_max: jnp.ndarray,
+                           voxel_size: float,
+                           compute_dtype=jnp.float32):
+    """Steps 1-2: bound mask, corner expansion, PointNet features.
+
+    Returns (corner coords [N,8,3] int32, feats [N,8,F], valid8 [N,8] bool).
+    """
+    inside = jnp.all((pts_w > bound_min + voxel_size) &
+                     (pts_w < bound_max - voxel_size), axis=-1)
+    valid = valid & inside
+
+    coords = voxel.position_to_coords(pts_w, bound_min, voxel_size)  # [N,3]
+    corners = voxel.corner_neighbors(coords)                          # [N,8,3]
+    rel = voxel.local_offsets(coords, corners)                        # [N,8,3] in [-1,1]
+    pn_in = jnp.concatenate(
+        [rel, jnp.broadcast_to(normals[:, None, :], rel.shape)], axis=-1)
+    feats = bnn.encoder_apply(params, pn_in, compute_dtype)           # [N,8,F]
+    valid8 = jnp.broadcast_to(valid[:, None], corners.shape[:2])
+    return corners, feats, valid8
+
+
+def fuse_frame(table: tbl.SparseVoxelTable, params: Dict[str, Any],
+               pts_w: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray,
+               bound_min: jnp.ndarray, bound_max: jnp.ndarray,
+               voxel_size: float, min_pts_in_grid: int,
+               compute_dtype=jnp.float32
+               ) -> Tuple[tbl.SparseVoxelTable, FrameStats]:
+    """Integrate one frame's oriented point cloud into the sparse volume.
+
+    Fixed shapes: [N] points with a validity mask (padding allowed).  Safe to
+    jit with ``voxel_size``/``min_pts_in_grid`` static.
+    """
+    n = pts_w.shape[0]
+    cap = table.capacity
+    fdim = table.feat_dims
+
+    corners, feats, valid8 = encode_corner_features(
+        params, pts_w, normals, valid, bound_min, bound_max, voxel_size,
+        compute_dtype)
+
+    keys = corners.reshape(n * 8, 3)
+    flat_valid = valid8.reshape(n * 8)
+    table, slots, ok = tbl.insert(table, keys, flat_valid)
+
+    # segment mean by slot: two scatter-adds (invalid/overflow -> dropped)
+    idx = jnp.where(ok, slots, cap)
+    feat_sum = jnp.zeros((cap, fdim), jnp.float32).at[idx].add(
+        feats.reshape(n * 8, fdim), mode="drop")
+    cnt = jnp.zeros((cap,), jnp.float32).at[idx].add(1.0, mode="drop")
+
+    touched = cnt > 0
+    mean_feats = feat_sum / jnp.maximum(cnt, 1.0)[:, None]
+    # reference weighting: clip(count/32, max=1)  (local_point_fusion.py:660)
+    new_w = jnp.minimum(cnt / 32.0, 1.0)
+    keep = touched & (cnt >= min_pts_in_grid)
+
+    old_w = table.weights
+    upd_w = old_w + new_w
+    upd_f = (table.features * old_w[:, None] + mean_feats * new_w[:, None]) / \
+        jnp.maximum(upd_w, 1e-12)[:, None]
+
+    features = jnp.where(keep[:, None], upd_f, table.features)
+    weights = jnp.where(keep, upd_w, table.weights)
+    table = table.replace(features=features, weights=weights)
+
+    n_touched = jnp.sum(touched.astype(jnp.float32))
+    stats = FrameStats(
+        n_avg_pts=jnp.sum(cnt) / jnp.maximum(n_touched, 1.0),
+        n_touched=n_touched,
+        n_valid_pts=jnp.sum(valid.astype(jnp.float32)),
+    )
+    return table, stats
+
+
+def make_fuse_frame_fn(voxel_size: float, min_pts_in_grid: int,
+                       compute_dtype=jnp.float32, donate: bool = True):
+    """Build the jitted per-frame fusion step (table buffers donated)."""
+    fn = partial(fuse_frame, voxel_size=voxel_size,
+                 min_pts_in_grid=min_pts_in_grid, compute_dtype=compute_dtype)
+
+    def step(table, params, pts_w, normals, valid, bound_min, bound_max):
+        return fn(table, params, pts_w, normals, valid, bound_min, bound_max)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# SDF decode through the sparse volume (the global-fusion / meshing hot path)
+# ---------------------------------------------------------------------------
+
+def decode_points(features: jnp.ndarray, table: tbl.SparseVoxelTable,
+                  params: Dict[str, Any], pts: jnp.ndarray,
+                  bound_min: jnp.ndarray, voxel_size: float,
+                  min_pts_in_grid: int,
+                  sdf_delta: jnp.ndarray | None = None,
+                  n_xyz: jnp.ndarray | None = None,
+                  is_coords: bool = False,
+                  compute_dtype=jnp.float32) -> jnp.ndarray:
+    """SDF at world points (or voxel coords) via 8-corner decode + blend.
+
+    Rebuilds SparseVolume.decode_pts (reference
+    src/models/sparse_volume.py:768-833): gather corner latents, positional-
+    encode the local offsets, run the decoder MLP per corner, blend with
+    normalized trilinear weights, mask voxels whose corners haven't
+    accumulated min_pts weight (masked SDF = +voxel_size), optionally add the
+    nearest-sampled dense TSDF prior.
+
+    ``features`` is passed separately from the table so the global
+    optimization can differentiate w.r.t. it while the table supplies
+    key/weight structure.  Returns [M] SDF values.
+    """
+    if not is_coords:
+        coords = voxel.position_to_coords(pts, bound_min, voxel_size)
+    else:
+        coords = pts
+    corners = voxel.corner_neighbors(coords)               # [M,8,3]
+    tw = voxel.trilinear_weights(coords, corners)          # [M,8]
+    local = voxel.local_offsets(coords, corners)           # [M,8,3]
+
+    m = coords.shape[0]
+    slots, found = tbl.lookup(table, corners.reshape(m * 8, 3))
+    feats = jnp.where(found[:, None], features[slots], 0.0)
+    w = jnp.where(found, table.weights[slots], 0.0)
+    feats = feats.reshape(m, 8, -1)
+    w = w.reshape(m, 8)
+
+    alpha = bnn.decoder_apply(params, local, feats,
+                              compute_dtype=compute_dtype)[..., 0]  # [M,8]
+    alpha = alpha * voxel_size
+    sdf = jnp.sum(alpha * tw, axis=-1)
+
+    # all 8 corners must carry at least min_pts weight (sparse_volume.py:809)
+    mask = jnp.min(w, axis=-1) >= min_pts_in_grid
+    sdf = jnp.where(mask, sdf, voxel_size)
+
+    if sdf_delta is not None:
+        delta = _sample_delta_nearest(sdf_delta, corners, n_xyz)   # [M,8]
+        sdf = sdf + jnp.sum(delta * tw, axis=-1)
+    return sdf
+
+
+def _sample_delta_nearest(sdf_delta: jnp.ndarray, corners: jnp.ndarray,
+                          n_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor sample of the dense prior at fine-grid corner coords.
+
+    Replicates F.grid_sample(mode="nearest", align_corners=True,
+    padding_mode="zeros") over coords normalized by (n_xyz - 1)
+    (reference src/models/sparse_volume.py:819-832): the prior volume has its
+    own resolution; normalized coords span the common world box.
+    """
+    dx, dy, dz = sdf_delta.shape
+    dims = jnp.asarray([dx, dy, dz], jnp.float32)
+    u = corners.astype(jnp.float32) / (n_xyz.astype(jnp.float32) - 1.0)
+    idx = jnp.round(u * (dims - 1.0)).astype(jnp.int32)
+    inside = jnp.all((idx >= 0) & (idx < jnp.asarray([dx, dy, dz])), axis=-1)
+    idx = jnp.clip(idx, 0, jnp.asarray([dx - 1, dy - 1, dz - 1]))
+    vals = sdf_delta[idx[..., 0], idx[..., 1], idx[..., 2]]
+    return jnp.where(inside, vals, 0.0)
+
+
+def bump_optim_weights(table: tbl.SparseVoxelTable,
+                       corners: jnp.ndarray) -> tbl.SparseVoxelTable:
+    """+1 weight on voxels touched by optimization rays (once per call).
+
+    Replicates SparseVolume.count_optim (reference
+    src/models/sparse_volume.py:602-622), where duplicate torch indexed
+    writes collapse to a single +1.
+    """
+    flat = corners.reshape(-1, 3)
+    slots, found = tbl.lookup(table, flat)
+    idx = jnp.where(found, slots, table.capacity)
+    bump = jnp.zeros((table.capacity,), jnp.float32).at[idx].max(1.0, mode="drop")
+    return table.replace(weights=table.weights + bump)

@@ -1,0 +1,325 @@
+"""Mesh extraction from the sparse neural volume + mesh utilities (PLY, eval).
+
+Rebuilds SparseVolume.meshlize (reference src/models/sparse_volume.py:697-766)
+TPU-first.  The reference loops 500-voxel batches, decodes overlapping 3x3x3
+SDF blocks and runs skimage marching_cubes per voxel on the CPU (duplicating
+triangles in block overlaps, cleaned up later by Open3D vertex merging).
+Here:
+
+* sample points live on the global half-voxel lattice and are deduplicated
+  before decoding — every SDF value is decoded exactly once on device, in
+  fixed-size padded batches (one compiled program),
+* surface extraction is a fully vectorized marching-tetrahedra pass in numpy
+  (6 tetrahedra per half-voxel cell; the 16-case table is derived
+  programmatically at import, orientation fixed against the inside centroid),
+* no duplicated surface sheets, so post-processing only merges coincident
+  vertices and drops degenerate faces (reference o3d_helper.post_process_mesh,
+  src/utils/o3d_helper.py:220-241).
+
+skimage/trimesh/open3d are not available in this environment; the PLY writer/
+reader and surface sampling for F-score evaluation are implemented here.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Mesh(NamedTuple):
+    vertices: np.ndarray  # [V, 3] float32
+    faces: np.ndarray     # [F, 3] int32
+
+
+# ---------------------------------------------------------------------------
+# Marching tetrahedra (vectorized)
+# ---------------------------------------------------------------------------
+
+# cube corners in (dx, dy, dz) bit order: index = 4*dx + 2*dy + dz
+_CUBE_CORNERS = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                          for z in (0, 1)], dtype=np.int64)
+# six tetrahedra around the main diagonal c0 (000) - c7 (111)
+_TETS = np.array([
+    [0, 4, 5, 7], [0, 5, 1, 7], [0, 1, 3, 7],
+    [0, 3, 2, 7], [0, 2, 6, 7], [0, 6, 4, 7]], dtype=np.int64)
+_TET_EDGES = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]],
+                      dtype=np.int64)
+
+
+def _build_tet_table() -> np.ndarray:
+    """16-case marching-tetrahedra table: [16, 2, 3] edge ids (-1 = unused).
+
+    Derived numerically on a canonical tetrahedron; triangle winding is fixed
+    so normals point from inside (sdf < 0) to outside.
+    """
+    verts = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    table = -np.ones((16, 2, 3), np.int64)
+    for mask in range(1, 15):
+        inside = [i for i in range(4) if mask & (1 << i)]
+        outside = [i for i in range(4) if not mask & (1 << i)]
+        cut = [e for e, (a, b) in enumerate(_TET_EDGES)
+               if (a in inside) != (b in inside)]
+        pts = {e: 0.5 * (verts[_TET_EDGES[e][0]] + verts[_TET_EDGES[e][1]])
+               for e in cut}
+        out_dir = verts[outside].mean(0) - verts[inside].mean(0)
+
+        def orient(tri):
+            a, b, c = (pts[e] for e in tri)
+            n = np.cross(b - a, c - a)
+            # the 6 cube tetrahedra in _TETS are all left-handed (det -1)
+            # relative to this right-handed canonical tet, so the winding
+            # that looks outward here maps to inward in the cube — invert.
+            return tri if np.dot(n, out_dir) < 0 else (tri[0], tri[2], tri[1])
+
+        if len(inside) in (1, 3):
+            table[mask, 0] = orient(tuple(cut))
+        else:  # 2-2 case: quad over 4 cut edges, ordered around the cycle
+            i0, i1 = inside
+            o0, o1 = outside
+
+            def edge_id(a, b):
+                a, b = min(a, b), max(a, b)
+                return next(e for e, (x, y) in enumerate(_TET_EDGES)
+                            if (x, y) == (a, b))
+
+            quad = [edge_id(i0, o0), edge_id(i0, o1),
+                    edge_id(i1, o1), edge_id(i1, o0)]
+            table[mask, 0] = orient((quad[0], quad[1], quad[2]))
+            table[mask, 1] = orient((quad[0], quad[2], quad[3]))
+    return table
+
+
+_TET_TABLE = _build_tet_table()
+
+
+def marching_tetrahedra(cell_origins: np.ndarray, cell_sdf: np.ndarray,
+                        level: float = 0.0) -> Mesh:
+    """Extract the iso-surface from sparse unit cells (vectorized numpy).
+
+    cell_origins: [M, 3] integer lattice origins; cell_sdf: [M, 8] SDF at the
+    cube corners in (4*dx + 2*dy + dz) order.  Returns vertices in lattice
+    units.
+    """
+    m = len(cell_origins)
+    if m == 0:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    corners = (cell_origins[:, None, :].astype(np.float32) +
+               _CUBE_CORNERS[None, :, :])                      # [M, 8, 3]
+    s = cell_sdf - level
+
+    tet_v = corners[:, _TETS, :]                                # [M, 6, 4, 3]
+    tet_s = s[:, _TETS]                                         # [M, 6, 4]
+    tet_v = tet_v.reshape(-1, 4, 3)
+    tet_s = tet_s.reshape(-1, 4)
+
+    inside = tet_s < 0
+    mask = (inside * np.array([1, 2, 4, 8])).sum(-1)            # [T]
+    active = (mask > 0) & (mask < 15)
+    tet_v, tet_s, mask = tet_v[active], tet_s[active], mask[active]
+    t = len(tet_s)
+    if t == 0:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+
+    # intersection points on all 6 tet edges
+    sa = tet_s[:, _TET_EDGES[:, 0]]
+    sb = tet_s[:, _TET_EDGES[:, 1]]
+    denom = sb - sa
+    frac = np.where(np.abs(denom) > 1e-12, -sa / np.where(denom == 0, 1, denom), 0.5)
+    frac = np.clip(frac, 0.0, 1.0)
+    va = tet_v[:, _TET_EDGES[:, 0]]
+    vb = tet_v[:, _TET_EDGES[:, 1]]
+    edge_pts = va + frac[..., None] * (vb - va)                 # [T, 6, 3]
+
+    tris = _TET_TABLE[mask]                                     # [T, 2, 3]
+    valid = tris[:, :, 0] >= 0                                  # [T, 2]
+    tri_edges = np.where(tris < 0, 0, tris)
+    tri_pts = np.take_along_axis(
+        edge_pts[:, None, :, :].repeat(2, axis=1),
+        tri_edges[..., None].repeat(3, axis=-1), axis=2)        # [T, 2, 3, 3]
+    tri_pts = tri_pts[valid]                                    # [K, 3, 3]
+
+    vertices = tri_pts.reshape(-1, 3).astype(np.float32)
+    faces = np.arange(len(vertices), dtype=np.int32).reshape(-1, 3)
+    return Mesh(vertices, faces)
+
+
+def merge_vertices(mesh: Mesh, tol: float) -> Mesh:
+    """Weld vertices within ``tol`` (grid rounding) and drop degenerate faces.
+
+    Replacement for open3d merge_close_vertices + cleanup
+    (reference src/utils/o3d_helper.py:220-241).
+    """
+    if len(mesh.vertices) == 0:
+        return mesh
+    keys = np.round(mesh.vertices / max(tol, 1e-12)).astype(np.int64)
+    _, first_idx, inv = np.unique(keys, axis=0, return_index=True,
+                                  return_inverse=True)
+    verts = mesh.vertices[first_idx]
+    faces = inv[mesh.faces].astype(np.int32)
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) &
+          (faces[:, 0] != faces[:, 2]))
+    return Mesh(verts.astype(np.float32), faces[ok])
+
+
+# ---------------------------------------------------------------------------
+# Sparse-volume meshing driver
+# ---------------------------------------------------------------------------
+
+def build_sample_lattice(active_coords: np.ndarray):
+    """Active voxel coords -> dedup half-lattice sample points + cells.
+
+    The reference samples a 3x3x3 grid at half-voxel steps around every active
+    corner (sparse_volume.py:717-731).  On the global half lattice
+    (coord*2 +/- 1), each voxel contributes 27 points and 8 sub-cells; shared
+    points/cells between neighbors are deduplicated here.
+
+    Returns (points_half [P, 3] int64, cell_corner_index [M, 8] int32 into
+    points, cell_origins_half [M, 3] int64).
+    """
+    offs = np.array([-1, 0, 1], np.int64)
+    grid = np.stack(np.meshgrid(offs, offs, offs, indexing="ij"),
+                    axis=-1).reshape(-1, 3)                     # 27
+    pts = (active_coords[:, None, :].astype(np.int64) * 2 +
+           grid[None, :, :]).reshape(-1, 3)
+    points, inv = np.unique(pts, axis=0, return_inverse=True)
+
+    cell_offs = np.array([-1, 0], np.int64)
+    cgrid = np.stack(np.meshgrid(cell_offs, cell_offs, cell_offs,
+                                 indexing="ij"), axis=-1).reshape(-1, 3)  # 8
+    cells = (active_coords[:, None, :].astype(np.int64) * 2 +
+             cgrid[None, :, :]).reshape(-1, 3)
+    cells = np.unique(cells, axis=0)
+
+    # index each cell corner into the unique point list via structured search
+    def keyify(a):
+        # coordinates are bounded well below 2**20 voxels
+        return (a[:, 0] + (1 << 20)) * (1 << 42) + \
+               (a[:, 1] + (1 << 20)) * (1 << 21) + (a[:, 2] + (1 << 20))
+
+    point_keys = keyify(points)
+    order = np.argsort(point_keys)
+    sorted_keys = point_keys[order]
+    corner_idx = np.empty((len(cells), 8), np.int64)
+    for ci, (dx, dy, dz) in enumerate(_CUBE_CORNERS):
+        ck = keyify(cells + np.array([dx, dy, dz]))
+        pos = np.searchsorted(sorted_keys, ck)
+        pos = np.clip(pos, 0, len(sorted_keys) - 1)
+        hit = sorted_keys[pos] == ck
+        corner_idx[:, ci] = np.where(hit, order[pos], -1)
+    keep = (corner_idx >= 0).all(axis=1)
+    return points, corner_idx[keep].astype(np.int64), cells[keep]
+
+
+def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
+                 voxel_size: float, batch_size: int = 262144,
+                 merge_tol_factor: float = 0.25) -> Optional[Mesh]:
+    """Decode the SDF on the half lattice and run marching tetrahedra.
+
+    ``decode_fn(coords_f32 [B, 3]) -> sdf [B]`` evaluates the sparse volume at
+    *voxel* coordinates (is_coords=True path of fusion.decode_points); it is
+    called with fixed-size padded batches so it can be a jitted closure.
+    """
+    if len(active_coords) == 0:
+        return None
+    points, corner_idx, cells = build_sample_lattice(active_coords)
+    coords = points.astype(np.float32) / 2.0
+
+    sdf = np.empty((len(points),), np.float32)
+    for s in range(0, len(points), batch_size):
+        e = min(s + batch_size, len(points))
+        batch = np.zeros((batch_size, 3), np.float32)
+        batch[: e - s] = coords[s:e]
+        out = np.asarray(decode_fn(jnp.asarray(batch)))
+        sdf[s:e] = out[: e - s]
+
+    cell_sdf = sdf[corner_idx]                                  # [M, 8]
+    crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
+    mesh = marching_tetrahedra(cells[crossing], cell_sdf[crossing])
+    if len(mesh.vertices) == 0:
+        return None
+    # lattice -> world: half coords / 2 * voxel_size + min_coords
+    verts = mesh.vertices / 2.0 * voxel_size + np.asarray(min_coords)
+    mesh = Mesh(verts.astype(np.float32), mesh.faces)
+    return merge_vertices(mesh, voxel_size * merge_tol_factor)
+
+
+# ---------------------------------------------------------------------------
+# PLY IO (binary little-endian; trimesh replacement)
+# ---------------------------------------------------------------------------
+
+def save_ply(path: str, mesh: Mesh) -> None:
+    v, f = mesh.vertices.astype("<f4"), mesh.faces.astype("<i4")
+    with open(path, "wb") as fh:
+        fh.write(b"ply\nformat binary_little_endian 1.0\n")
+        fh.write(f"element vertex {len(v)}\n".encode())
+        fh.write(b"property float x\nproperty float y\nproperty float z\n")
+        fh.write(f"element face {len(f)}\n".encode())
+        fh.write(b"property list uchar int vertex_indices\nend_header\n")
+        fh.write(v.tobytes())
+        counts = np.full((len(f), 1), 3, "u1")
+        rows = np.concatenate(
+            [counts.view("u1"), f.view("u1").reshape(len(f), 12)], axis=1)
+        fh.write(rows.tobytes())
+
+
+def load_ply(path: str) -> Mesh:
+    with open(path, "rb") as fh:
+        if fh.readline().strip() != b"ply":
+            raise ValueError("not a PLY file")
+        fmt = fh.readline().strip()
+        n_v = n_f = 0
+        props = []
+        cur = None
+        while True:
+            line = fh.readline().strip()
+            if line == b"end_header":
+                break
+            parts = line.split()
+            if parts[0] == b"element":
+                cur = parts[1]
+                if cur == b"vertex":
+                    n_v = int(parts[2])
+                elif cur == b"face":
+                    n_f = int(parts[2])
+            elif parts[0] == b"property" and cur == b"vertex":
+                props.append(parts[-1].decode())
+        if b"binary_little_endian" in fmt:
+            vdata = np.frombuffer(fh.read(n_v * 4 * len(props)), "<f4")
+            vdata = vdata.reshape(n_v, len(props))
+            verts = vdata[:, :3].copy()
+            raw = fh.read(n_f * 13)
+            rows = np.frombuffer(raw, "u1").reshape(n_f, 13)
+            faces = rows[:, 1:].copy().view("<i4").reshape(n_f, 3)
+        else:  # ascii
+            rows = [fh.readline().split() for _ in range(n_v)]
+            verts = np.array(rows, np.float32)[:, :3]
+            faces = np.array([fh.readline().split()[1:4] for _ in range(n_f)],
+                             np.int32)
+    return Mesh(verts.astype(np.float32), faces.astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Surface sampling (trimesh.sample.sample_surface replacement)
+# ---------------------------------------------------------------------------
+
+def sample_surface(mesh: Mesh, n: int, seed: int = 0) -> np.ndarray:
+    """Area-weighted uniform surface samples [n, 3]."""
+    rng = np.random.RandomState(seed)
+    v, f = mesh.vertices, mesh.faces
+    a = v[f[:, 0]]
+    ab = v[f[:, 1]] - a
+    ac = v[f[:, 2]] - a
+    areas = 0.5 * np.linalg.norm(np.cross(ab, ac), axis=-1)
+    total = areas.sum()
+    if total <= 0:
+        raise ValueError("mesh has zero surface area")
+    probs = areas / total
+    tri = rng.choice(len(f), size=n, p=probs)
+    r1 = np.sqrt(rng.rand(n, 1))
+    r2 = rng.rand(n, 1)
+    return (a[tri] * (1 - r1) + (a + ab)[tri] * (r1 * (1 - r2)) +
+            (a + ac)[tri] * (r1 * r2)).astype(np.float32)

@@ -1,0 +1,83 @@
+"""Global refinement as offline training over a saved sparse volume.
+
+Rebuilds LitFusionRefiner (reference src/models/fusion/fusion_refiner.py):
+load a fused sparse volume (the hand-off from offline fusion, reference
+test.py flow) plus an optional dense TSDF prior ``.npy``, freeze the decoder
+weights, make the latents trainable, and optimize them with the rendering
+loss against the dataset's frames; export a mesh per validation epoch.
+
+Here the refinement loop IS the pipeline's optimize step (one jitted Adam
+update per frame batch) — the reference reimplements the ray/loss path in a
+LightningModule; this framework shares one implementation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bnv_fusion_tpu import mesh as mesh_mod
+from bnv_fusion_tpu import tsdf as tsdf_mod
+from bnv_fusion_tpu.models.registry import register
+from bnv_fusion_tpu.pipeline import NeuralMap
+from bnv_fusion_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@register("lit_fusion_refiner")
+class FusionRefiner:
+    def __init__(self, cfg, params: Dict[str, Any]):
+        self.cfg = cfg
+        self.params = params
+
+    def run(self, dataset, working_dir: str, n_epochs: int = 1,
+            iters_per_epoch: int | None = None) -> mesh_mod.Mesh | None:
+        cfg = self.cfg
+        nmap = NeuralMap(dataset.dimensions, cfg, self.params, working_dir)
+
+        vol_path = getattr(cfg.model, "sparse_volume_path", None)
+        if vol_path:
+            log.info(f"loading sparse volume {vol_path}")
+            nmap.load_volume(vol_path)
+        tsdf_path = getattr(cfg.model, "tsdf_prior_path", None)
+        if tsdf_path:
+            log.info(f"loading tsdf prior {tsdf_path}")
+            metric = np.load(tsdf_path)
+            normalized = metric / (nmap.tsdf_voxel_size * 5.0)
+            if normalized.shape != nmap.tsdf_vol.sdf.shape:
+                raise ValueError(
+                    f"tsdf prior shape {normalized.shape} != volume "
+                    f"{nmap.tsdf_vol.sdf.shape}")
+            nmap.tsdf_vol = nmap.tsdf_vol.replace(
+                sdf=jnp.asarray(normalized, jnp.float32),
+                weight=jnp.ones_like(nmap.tsdf_vol.weight))
+
+        # stage the dataset frames as the optimization ray pool
+        for i in range(len(dataset)):
+            f = dataset[i]
+            nmap.frames.append({
+                "depth": jnp.asarray(f["depth"], jnp.float32),
+                "T_wc": jnp.asarray(f["T_wc"], jnp.float32),
+                "intr": jnp.asarray(f["intr_mat"], jnp.float32),
+                "frame_id": f.get("frame_id"),
+            })
+
+        iters = iters_per_epoch or len(nmap.frames)
+        mesh = None
+        os.makedirs(working_dir, exist_ok=True)
+        for epoch in range(n_epochs):
+            nmap.optimize(n_iters=iters, last_frame=-1,
+                          lr=float(cfg.optimizer.lr.initial))
+            mesh = nmap.extract_mesh()
+            if mesh is not None:
+                out = os.path.join(working_dir, f"refined_{epoch}.ply")
+                mesh_mod.save_ply(out, mesh)
+                log.info(f"epoch {epoch}: exported {out} "
+                         f"({len(mesh.vertices)} verts)")
+        nmap.save(os.path.join(working_dir, "refined"))
+        return mesh

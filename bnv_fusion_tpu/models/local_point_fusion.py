@@ -1,0 +1,151 @@
+"""Embedding pretraining: PointNet encoder + SDF decoder on local patches.
+
+Rebuilds the pretraining path of LitFusionPointNet (reference
+src/models/fusion/local_point_fusion.py:381-598 and train flow
+src/train.py): a local oriented point set is mean-pooled into one latent,
+the decoder regresses SDF at query points, trained with truncated-L1 plus a
+latent-norm regularizer (reference compute_loss:381-395), Adam + StepLR
+(reference configs/optimizer/adam.yaml).
+
+TPU-first: the whole train step (random point-count truncation included) is
+one jitted function over a fixed [B, N, 6] batch; point-count truncation is a
+mask, not a shape change, so there is exactly one compilation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Iterator, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bnv_fusion_tpu import nn as bnn
+from bnv_fusion_tpu.checkpoint import save_state
+from bnv_fusion_tpu.models.registry import register
+from bnv_fusion_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def pretrain_loss(params: Dict[str, Any], input_pts: jnp.ndarray,
+                  n_keep: jnp.ndarray, training_pts: jnp.ndarray,
+                  gt_sdf: jnp.ndarray, reg_weight: float = 1e-3
+                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Truncated-input global-feature loss (reference
+    local_point_fusion.py:397-460 local branch).
+
+    input_pts [B, N, 6]; n_keep [B] — how many leading points to use (the
+    reference's random truncation, applied as a mask); training_pts [B, Q, 3]
+    in normalized units; gt_sdf [B, Q].
+    """
+    b, n, _ = input_pts.shape
+    keep = jnp.arange(n)[None, :] < n_keep[:, None]
+    feats = bnn.encoder_global_apply(params, input_pts, valid=keep)   # [B, F]
+    q = training_pts.shape[1]
+    feats_b = jnp.broadcast_to(feats[:, None, :], (b, q, feats.shape[-1]))
+    pred = bnn.decoder_apply(params, training_pts, feats_b)[..., 0]   # [B, Q]
+    bce = jnp.mean(jnp.abs(pred - gt_sdf))
+    reg = jnp.mean(jnp.linalg.norm(feats, axis=-1))
+    loss = bce + reg_weight * reg
+    return loss, {"bce_loss": bce, "reg_loss": reg}
+
+
+@register("lit_fusion_pointnet")
+class FusionPointNetTrainer:
+    """Train loop driver (the reference's LightningModule + pl.Trainer role)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.min_pts = int(cfg.model.min_pts_in_grid)
+        self.n_local = int(getattr(cfg.dataset, "n_local_samples", 64))
+        self.reg_weight = float(cfg.model.loss.reg_loss)
+        lr = float(cfg.optimizer.lr.initial)
+        sched = optax.exponential_decay(
+            lr, transition_steps=int(cfg.optimizer.lr_scheduler.step_size),
+            decay_rate=float(cfg.optimizer.lr_scheduler.gamma),
+            staircase=True)
+        self.optimizer = optax.adam(sched)
+        key = jax.random.key(int(getattr(cfg.trainer, "seed", 0)))
+        self.params = bnn.init_model(key)
+        self.opt_state = self.optimizer.init(self.params)
+        self._step = self._build_step()
+        self._key = jax.random.key(1234)
+
+    def _build_step(self):
+        reg_w = self.reg_weight
+        grad_fn = jax.value_and_grad(
+            partial(pretrain_loss, reg_weight=reg_w), has_aux=True)
+        opt = self.optimizer
+
+        @jax.jit
+        def step(params, opt_state, input_pts, n_keep, training_pts, gt_sdf):
+            (loss, logs), g = grad_fn(params, input_pts, n_keep,
+                                      training_pts, gt_sdf)
+            updates, opt_state = opt.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, logs
+
+        return step
+
+    def train_step(self, batch: Dict[str, np.ndarray]):
+        self._key, k = jax.random.split(self._key)
+        b = batch["input_pts"].shape[0]
+        # reference: random truncation in [min_pts/2, n_local_samples)
+        n_keep = jax.random.randint(k, (b,), self.min_pts // 2, self.n_local)
+        self.params, self.opt_state, loss, logs = self._step(
+            self.params, self.opt_state,
+            jnp.asarray(batch["input_pts"]), n_keep,
+            jnp.asarray(batch["training_pts"]), jnp.asarray(batch["gt"]))
+        return float(loss), {k2: float(v) for k2, v in logs.items()}
+
+    @partial(jax.jit, static_argnums=0)
+    def _eval_loss(self, params, input_pts, training_pts, gt_sdf):
+        b, n, _ = input_pts.shape
+        loss, logs = pretrain_loss(
+            params, input_pts, jnp.full((b,), n), training_pts, gt_sdf,
+            self.reg_weight)
+        return logs["bce_loss"]
+
+    def eval_step(self, batch: Dict[str, np.ndarray]) -> float:
+        return float(self._eval_loss(
+            self.params, jnp.asarray(batch["input_pts"]),
+            jnp.asarray(batch["training_pts"]), jnp.asarray(batch["gt"])))
+
+    def fit(self, train_ds, val_ds, max_epochs: int, batch_size: int,
+            ckpt_dir: str, log_every: int = 50):
+        import os
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        best = float("inf")
+        step = 0
+        for epoch in range(max_epochs):
+            for batch in iterate_batches(train_ds, batch_size, shuffle=True,
+                                         seed=epoch):
+                loss, logs = self.train_step(batch)
+                if step % log_every == 0:
+                    log.info(f"epoch {epoch} step {step} "
+                             f"loss {loss:.4f} bce {logs['bce_loss']:.4f}")
+                step += 1
+            val = np.mean([self.eval_step(b) for b in
+                           iterate_batches(val_ds, batch_size)])
+            log.info(f"epoch {epoch} val_loss {val:.4f}")
+            save_state(os.path.join(ckpt_dir, "last.npz"),
+                       {"params": self.params})
+            if val < best:
+                best = val
+                save_state(os.path.join(ckpt_dir, "best.npz"),
+                           {"params": self.params})
+        return best
+
+
+def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
+                    seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    idx = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    for s in range(0, len(idx) - batch_size + 1, batch_size):
+        items = [dataset[int(i)] for i in idx[s:s + batch_size]]
+        yield {k: np.stack([it[k] for it in items]) for k in items[0]}

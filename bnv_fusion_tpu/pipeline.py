@@ -1,0 +1,226 @@
+"""NeuralMap: the online bi-level fusion pipeline (integrate / optimize / mesh).
+
+Rebuilds the reference's NeuralMap orchestrator (reference
+src/run_e2e.py:27-194) TPU-first:
+
+* ``integrate`` consumes the RAW frame (depth, T_wc, intr) and runs
+  back-projection, normal estimation, bound masking, PointNet encoding,
+  hash insert and the running-mean update as ONE jitted device step —
+  the reference does back-projection/normals in DataLoader workers and
+  crosses the host/device boundary per hash operation,
+* ``optimize`` is the global-level fusion: a jitted Adam step over the
+  table latents per sampled frame (see bnv_fusion_tpu.optimize),
+* ``extract_mesh`` decodes the SDF on a deduplicated half-voxel lattice in
+  fixed-size device batches and runs vectorized marching tetrahedra on host,
+* per-phase wall-clock timing mirrors the reference's Timer/fps printout
+  (src/run_e2e.py:242-290).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bnv_fusion_tpu import checkpoint as ckpt_io
+from bnv_fusion_tpu import fusion, geometry, mesh as mesh_mod, optimize, tsdf
+from bnv_fusion_tpu import table as tbl
+from bnv_fusion_tpu import voxel as vx
+
+
+class Timer:
+    """Accumulating phase timer (reference src/utils/common.py:12-21)."""
+
+    def __init__(self, names):
+        self.times = {n: 0.0 for n in names}
+        self._start: Dict[str, float] = {}
+
+    def start(self, name):
+        self._start[name] = time.time()
+
+    def log(self, name):
+        self.times[name] += time.time() - self._start.pop(name)
+
+
+class NeuralMap:
+    def __init__(self, dimensions: np.ndarray, config, params: Dict[str, Any],
+                 working_dir: str = ".", capacity: Optional[int] = None):
+        m = config.model
+        self.config = config
+        self.params = params
+        self.working_dir = working_dir
+        self.voxel_size = float(m.voxel_size)
+        self.feat_dims = int(m.feature_vector_size)
+        self.min_pts_in_grid = int(m.min_pts_in_grid)
+        self.ray_max_dist = float(m.ray_tracer.ray_max_dist)
+        self.truncated_units = int(m.ray_tracer.truncated_units)
+        self.truncated_dist = min(
+            self.truncated_units * self.voxel_size * 0.5, 0.1)
+        self.sdf_delta_weight = float(m.sdf_delta_weight)
+        self.train_ray_splits = int(m.train_ray_splits)
+        self.sampling_size = int(config.dataset.num_pixels)
+        self.dimensions = np.asarray(dimensions, np.float32)
+
+        min_c, max_c, n_xyz = vx.get_world_range(self.dimensions,
+                                                 self.voxel_size)
+        self.bound_min = jnp.asarray(min_c)
+        self.bound_max = jnp.asarray(max_c)
+        self.n_xyz = jnp.asarray(n_xyz.astype(np.int32))
+
+        if capacity is None:
+            capacity = int(getattr(m, "table_capacity", 1 << 21))
+        self.table = tbl.create_table(capacity, self.feat_dims)
+
+        self.tsdf_voxel_size = float(getattr(m, "tsdf_voxel_size", 0.025))
+        self.tsdf_vol, _ = tsdf.create_tsdf_volume(self.dimensions,
+                                                   self.tsdf_voxel_size)
+
+        self.frames: List[Dict[str, Any]] = []
+        self._fuse_step = None
+        self._optim_step = None
+        self._optim = None
+        self._decode_jit = None
+        self._rng_key = jax.random.key(int(getattr(config.trainer, "seed", 0)))
+        self.timer = Timer(["local", "global"])
+        self.stats: List[float] = []
+
+    # ------------------------------------------------------------------
+    # local fusion
+    # ------------------------------------------------------------------
+
+    def _build_fuse_step(self):
+        vs = self.voxel_size
+        min_pts = self.min_pts_in_grid
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(table, tsdf_vol, params, depth, T_wc, intr,
+                 bound_min, bound_max):
+            h, w = depth.shape
+            xyz_cam = geometry.depth_to_xyz(depth, intr)
+            valid = (depth > 0).reshape(-1)
+            normals_cam = geometry.normals_from_depth(depth, intr,
+                                                      mask=depth > 0)
+            pts_w = geometry.transform_points(T_wc, xyz_cam.reshape(-1, 3))
+            normals_w = geometry.rotate_vectors(T_wc, normals_cam.reshape(-1, 3))
+            table, stats = fusion.fuse_frame(
+                table, params, pts_w, normals_w, valid, bound_min, bound_max,
+                vs, min_pts)
+            tsdf_vol = tsdf.integrate(tsdf_vol, depth, intr, T_wc,
+                                      self.tsdf_voxel_size)
+            return table, tsdf_vol, stats
+
+        return step
+
+    def integrate(self, frame: Dict[str, Any]):
+        """Fuse one frame (reference run_e2e.py:78-109) and keep its raw
+        depth + pose for the global optimization ray pool."""
+        if self._fuse_step is None:
+            self._fuse_step = self._build_fuse_step()
+        # NaN poses are skipped defensively (reference run_e2e.py:121,253);
+        # checked on host input to avoid a device sync in the hot loop
+        if np.any(np.isnan(np.asarray(frame["T_wc"]))):
+            return None
+        depth = jnp.asarray(frame["depth"], jnp.float32)
+        T_wc = jnp.asarray(frame["T_wc"], jnp.float32)
+        intr = jnp.asarray(frame["intr_mat"], jnp.float32)
+        self.table, self.tsdf_vol, stats = self._fuse_step(
+            self.table, self.tsdf_vol, self.params, depth, T_wc, intr,
+            self.bound_min, self.bound_max)
+        self.stats.append(float(stats.n_avg_pts))
+        self.frames.append({"depth": depth, "T_wc": T_wc, "intr": intr,
+                            "frame_id": frame.get("frame_id")})
+
+    # ------------------------------------------------------------------
+    # global fusion
+    # ------------------------------------------------------------------
+
+    def optimize(self, n_iters: int, last_frame: int = -1,
+                 lr: float = 1e-3):
+        """Render-loss optimization of the latents
+        (reference run_e2e.py:111-162)."""
+        if not self.frames:
+            return
+        if self._optim_step is None:
+            self._optim, self._optim_step = optimize.make_optimize_step(
+                self.params, self.voxel_size, self.min_pts_in_grid,
+                self.truncated_units, self.truncated_dist, self.ray_max_dist,
+                n_rays=self.sampling_size,
+                train_ray_splits=self.train_ray_splits, lr=lr)
+        sdf_delta = tsdf.prepare_sdf_delta(
+            self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
+            self.sdf_delta_weight)
+        state = optimize.init_optim_state(self._optim, self.table)
+
+        lo = 0 if last_frame < 0 else max(0, last_frame)
+        frame_pool = self.frames[lo:]
+        for it in range(int(n_iters)):
+            self._rng_key, k_frame, k_step = jax.random.split(self._rng_key, 3)
+            fi = int(jax.random.randint(k_frame, (), 0, len(frame_pool)))
+            f = frame_pool[fi]
+            state, loss = self._optim_step(
+                state, self.table, f["depth"], f["T_wc"], f["intr"],
+                self.bound_min, self.n_xyz, sdf_delta, k_step)
+        # write optimized features (and bumped weights) back into the map
+        self.table = self.table.replace(features=state.features,
+                                        weights=state.weights)
+
+    # ------------------------------------------------------------------
+    # meshing / io
+    # ------------------------------------------------------------------
+
+    def _build_decode(self, use_delta: bool):
+        vs = self.voxel_size
+        min_pts = self.min_pts_in_grid
+
+        @jax.jit
+        def decode(features, table, sdf_delta, coords):
+            return fusion.decode_points(
+                features, table, self.params, coords,
+                self.bound_min, vs, min_pts,
+                sdf_delta=sdf_delta if use_delta else None,
+                n_xyz=self.n_xyz, is_coords=True)
+
+        return decode
+
+    def extract_mesh(self, use_delta: bool = True,
+                     batch_size: int = 1 << 18) -> Optional[mesh_mod.Mesh]:
+        if self._decode_jit is None:
+            self._decode_jit = self._build_decode(use_delta)
+        sdf_delta = tsdf.prepare_sdf_delta(
+            self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
+            self.sdf_delta_weight)
+        keys, feats, weights, hits, _ = tbl.active_entries(self.table)
+        # only voxels that have accumulated real fusion weight carry surface
+        active = keys[weights >= self.min_pts_in_grid]
+        if len(active) == 0:
+            return None
+        decode_fn = partial(self._decode_jit, self.table.features, self.table,
+                            sdf_delta)
+        return mesh_mod.extract_mesh(
+            decode_fn, active.astype(np.int32),
+            np.asarray(self.bound_min), self.voxel_size,
+            batch_size=batch_size)
+
+    def save(self, path_prefix: str):
+        keys, feats, weights, hits, _ = tbl.active_entries(self.table)
+        ckpt_io.save_state(path_prefix + "_sparse_volume.npz", {
+            "active_coordinates": keys,
+            "features": feats,
+            "weights": weights,
+            "num_hits": hits,
+            "dimensions": self.dimensions,
+            "voxel_size": np.float32(self.voxel_size),
+        })
+        np.save(path_prefix + "_tsdf.npy",
+                np.asarray(self.tsdf_vol.sdf) * (self.tsdf_voxel_size * 5))
+
+    def load_volume(self, path: str):
+        data = ckpt_io.load_state(path)
+        self.table = tbl.load_entries(
+            self.table.capacity, data["active_coordinates"],
+            data["features"], data["weights"], data["num_hits"])

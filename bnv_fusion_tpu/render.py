@@ -1,0 +1,145 @@
+"""Differentiable volume rendering of SDF along camera rays + the fusion loss.
+
+Rebuilds reference src/utils/render_utils.py (stratified_sampling:77-94,
+hierarchical_sampling:191-233, get_camera_params:431-458,
+render_with_rays:461-505, compute_sdf_loss:508-549, calculate_loss:551-594)
+as pure jnp functions with explicit PRNG keys and static sample counts, so the
+whole ray pipeline jit-compiles into the global-optimization step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bnv_fusion_tpu import fusion, geometry, voxel
+from bnv_fusion_tpu import table as tbl
+
+
+class Rays(NamedTuple):
+    """One batch of supervision rays (fixed shapes; reference rays dict,
+    src/datasets/fusion_inference_dataset.py:394-403)."""
+
+    uv: jnp.ndarray              # [N, 2] float32 pixel coords
+    gt_pts: jnp.ndarray          # [N, 3] world surface points
+    mask: jnp.ndarray            # [N] float32 validity
+    neighbor_pts: jnp.ndarray    # [N, K, 3] 3x3 pixel window world points
+    neighbor_masks: jnp.ndarray  # [N, K] float32
+    T_wc: jnp.ndarray            # [4, 4]
+    intr: jnp.ndarray            # [3, 3]
+
+
+def stratified_sampling(key, n_samples: int, distances: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Stratified distances in [0, d] per ray: [N, 1] -> [N, S, 1].
+
+    Matches reference stratified_sampling (render_utils.py:77-94): linspace
+    endpoints, jitter uniformly inside mid-point intervals.
+    """
+    n = distances.shape[0]
+    ticks = jnp.linspace(0.0, 1.0, n_samples)[None, :] * distances  # [N, S]
+    mids = 0.5 * (ticks[:, 1:] + ticks[:, :-1])
+    upper = jnp.concatenate([mids, ticks[:, -1:]], axis=-1)
+    lower = jnp.concatenate([ticks[:, :1], mids], axis=-1)
+    t = jax.random.uniform(key, (n, n_samples))
+    return (lower + (upper - lower) * t)[..., None]
+
+
+def hierarchical_sampling(key, n_fine: int, n_coarse: int,
+                          depths: jnp.ndarray, surface: jnp.ndarray,
+                          ray_dirs: jnp.ndarray, cam_loc: jnp.ndarray,
+                          offset_distance: float
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fine samples in a +-offset band around the surface + coarse samples
+    from the camera, merged sorted (reference render_utils.py:191-233).
+
+    depths/surface: [N] / [N, 3].  Returns (pts [N, S, 3], dists [N, S, 1]).
+    """
+    k1, k2 = jax.random.split(key)
+    negative_offset = jnp.where(depths - offset_distance < 0,
+                                depths, offset_distance)
+    start_pts = surface - negative_offset[:, None] * ray_dirs
+    start_depths = jnp.linalg.norm(start_pts - cam_loc[None, :], axis=-1)
+
+    fine = stratified_sampling(
+        k1, n_fine, jnp.full_like(depths, 2.0 * offset_distance)[:, None])
+    fine = fine + start_depths[:, None, None]
+    coarse = stratified_sampling(k2, n_coarse, depths[:, None])
+
+    dists = jnp.sort(jnp.concatenate([fine, coarse], axis=1), axis=1)
+    pts = cam_loc[None, None, :] + dists * ray_dirs[:, None, :]
+    return pts, dists
+
+
+def render_rays_sdf(features: jnp.ndarray, table: tbl.SparseVoxelTable,
+                    params: Dict[str, Any], rays: Rays, key,
+                    bound_min: jnp.ndarray, voxel_size: float,
+                    min_pts_in_grid: int, truncated_units: int,
+                    truncated_dist: float, ray_max_dist: float,
+                    sdf_delta: jnp.ndarray | None, n_xyz: jnp.ndarray,
+                    compute_dtype=jnp.float32):
+    """Sample rays and decode SDF through the sparse volume.
+
+    Reference render_with_rays (render_utils.py:461-505).  Returns
+    (pred_sdf [N, S], pts [N, S, 3], cam_loc [3], touched corner coords for
+    the count_optim weight bump).
+    """
+    ray_dirs, cam_loc = geometry.get_camera_rays(rays.uv, rays.T_wc, rays.intr)
+    gt_depths = jnp.linalg.norm(rays.gt_pts - cam_loc[None, :], axis=-1)
+    pts, _ = hierarchical_sampling(
+        key, truncated_units * 2, int(ray_max_dist * 5), gt_depths,
+        rays.gt_pts, ray_dirs, cam_loc, offset_distance=truncated_dist)
+
+    n, s = pts.shape[:2]
+    flat_pts = pts.reshape(n * s, 3)
+    coords = voxel.position_to_coords(flat_pts, bound_min, voxel_size)
+    corners = voxel.corner_neighbors(coords)
+    pred = fusion.decode_points(
+        features, table, params, flat_pts, bound_min, voxel_size,
+        min_pts_in_grid, sdf_delta=sdf_delta, n_xyz=n_xyz,
+        compute_dtype=compute_dtype)
+    return pred.reshape(n, s), pts, cam_loc, corners
+
+
+def compute_sdf_loss(rays: Rays, pred_sdf: jnp.ndarray, pred_pts: jnp.ndarray,
+                     cam_loc: jnp.ndarray, truncated_dist: float
+                     ) -> jnp.ndarray:
+    """Neighborhood-corrected truncated L1 SDF loss
+    (reference render_utils.compute_sdf_loss:508-549)."""
+    gt_depths = jnp.linalg.norm(rays.gt_pts - cam_loc[None, :],
+                                axis=-1, keepdims=True)       # [N, 1]
+    depths = jnp.linalg.norm(pred_pts - cam_loc[None, None, :], axis=-1)  # [N,S]
+    gt_sdf = jnp.clip(gt_depths - depths, -truncated_dist, truncated_dist)
+    valid_map = gt_sdf > max(-truncated_dist * 0.5, -0.05)
+
+    # distance from each sample to the 3x3 neighborhood of the ray's surface
+    d = jnp.linalg.norm(
+        rays.neighbor_pts[:, None, :, :] - pred_pts[:, :, None, :], axis=-1)
+    d = jnp.where(rays.neighbor_masks[:, None, :] > 0, d, 1e4)
+    nearest = jnp.min(d, axis=-1)                              # [N, S]
+    sign = jnp.where(gt_sdf > 0, 1.0, -1.0)
+    gt_nearest_signed = jnp.clip(nearest * sign,
+                                 -truncated_dist, truncated_dist)
+
+    num_valid = jnp.sum(rays.mask) + 1e-4
+    l1 = jnp.abs(pred_sdf - gt_nearest_signed) * valid_map
+    return jnp.sum(l1 * rays.mask[:, None]) / num_valid
+
+
+def calculate_loss(features: jnp.ndarray, table: tbl.SparseVoxelTable,
+                   params: Dict[str, Any], rays: Rays, key,
+                   bound_min: jnp.ndarray, voxel_size: float,
+                   min_pts_in_grid: int, truncated_units: int,
+                   truncated_dist: float, ray_max_dist: float,
+                   sdf_delta: jnp.ndarray | None, n_xyz: jnp.ndarray,
+                   compute_dtype=jnp.float32):
+    """Loss for one ray chunk + the corner coords to weight-bump
+    (reference render_utils.calculate_loss:551-594)."""
+    pred_sdf, pts, cam_loc, corners = render_rays_sdf(
+        features, table, params, rays, key, bound_min, voxel_size,
+        min_pts_in_grid, truncated_units, truncated_dist, ray_max_dist,
+        sdf_delta, n_xyz, compute_dtype)
+    loss = compute_sdf_loss(rays, pred_sdf, pts, cam_loc, truncated_dist)
+    return loss, corners

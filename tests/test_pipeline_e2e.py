@@ -1,0 +1,105 @@
+"""End-to-end pipeline tests on the analytic synthetic scene (CPU-sized).
+
+The miniature analog of the reference's lounge demo (SURVEY §4's "CPU-runnable
+miniature end-to-end on synthetic depth"): fuse frames with the real
+pretrained checkpoint, extract a mesh, check F-score against exact observable
+ground truth.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from bnv_fusion_tpu import evaluation
+from bnv_fusion_tpu import mesh as mesh_mod
+from bnv_fusion_tpu.checkpoint import load_pretrained
+from bnv_fusion_tpu.config import load_config
+from bnv_fusion_tpu.pipeline import NeuralMap
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    # CPU-sized operating point.  min_pts_in_grid=4: the decode mask needs a
+    # voxel observed in >= min_pts frames (weight accumulates ~1/frame); the
+    # reference's default 8 assumes ~30 fused frames (lounge skip=10), here we
+    # fuse 16.
+    return load_config([
+        "model.voxel_size=0.04",
+        "dataset.num_images=16",
+        "dataset.img_res=[240,320]",
+        "dataset.num_pixels=1024",
+        "model.train_ray_splits=256",
+        "model.table_capacity=262144",
+        "model.min_pts_in_grid=4",
+    ])
+
+
+@pytest.fixture(scope="module")
+def dataset(cfg):
+    from bnv_fusion_tpu.datasets import get_dataset
+
+    return get_dataset(cfg, "val")
+
+
+@pytest.fixture(scope="module")
+def fused_map(cfg, dataset, pretrained_tcnn_path):
+    params = load_pretrained(pretrained_tcnn_path)
+    nm = NeuralMap(dataset.dimensions, cfg, params)
+    for i in range(len(dataset)):
+        nm.integrate(dataset[i])
+    return nm
+
+
+def test_local_fusion_statistics(fused_map):
+    assert len(fused_map.frames) == 16
+    stats = np.asarray(fused_map.stats)
+    # voxel-size heuristic from the reference README: mean pts/voxel >= 8
+    assert stats.mean() >= 8
+    assert int(np.asarray(fused_map.table.overflow)) == 0
+
+
+def test_mesh_quality_before_optim(fused_map, dataset, tmp_path_factory):
+    m = fused_map.extract_mesh(use_delta=True)
+    assert m is not None and len(m.vertices) > 1000
+    pred = mesh_mod.sample_surface(m, 20000, 0)
+    gt = dataset.gt_observed_points(20000)
+    res = evaluation.fscore_points(pred, gt, 0.05)
+    # coarse operating point (voxel 4 cm, 12 frames): precision must be high
+    assert res["precision"] > 0.9
+    assert res["recall"] > 0.5
+    out = tmp_path_factory.mktemp("mesh") / "before.ply"
+    mesh_mod.save_ply(str(out), m)
+    assert os.path.getsize(out) > 1000
+
+
+def test_global_optimization_improves_or_holds(fused_map, dataset):
+    m0 = fused_map.extract_mesh(use_delta=True)
+    pred0 = mesh_mod.sample_surface(m0, 20000, 0)
+    gt = dataset.gt_observed_points(20000)
+    before = evaluation.fscore_points(pred0, gt, 0.05)
+
+    fused_map.optimize(n_iters=6, last_frame=-1)
+    m1 = fused_map.extract_mesh(use_delta=True)
+    assert m1 is not None
+    pred1 = mesh_mod.sample_surface(m1, 20000, 0)
+    after = evaluation.fscore_points(pred1, gt, 0.05)
+    # few iterations on CPU: require no catastrophic regression
+    assert after["fscore"] > before["fscore"] - 0.05
+
+
+def test_save_load_roundtrip(fused_map, cfg, dataset, tmp_path):
+    prefix = str(tmp_path / "map")
+    fused_map.save(prefix)
+    assert os.path.exists(prefix + "_sparse_volume.npz")
+    assert os.path.exists(prefix + "_tsdf.npy")
+
+    nm2 = NeuralMap(dataset.dimensions, cfg, fused_map.params)
+    nm2.load_volume(prefix + "_sparse_volume.npz")
+    from bnv_fusion_tpu import table as tbl
+
+    k1, f1, w1, _, _ = tbl.active_entries(fused_map.table)
+    k2, f2, w2, _, _ = tbl.active_entries(nm2.table)
+    o1, o2 = np.lexsort(k1.T), np.lexsort(k2.T)
+    np.testing.assert_array_equal(k1[o1], k2[o2])
+    np.testing.assert_allclose(f1[o1], f2[o2], atol=1e-6)
