@@ -20,7 +20,13 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
+
+    # first compile over the axon tunnel is ~2-3 min (remote compile); the
+    # persistent cache makes repeated driver runs fast
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from bnv_fusion_tpu.config import load_config
     from bnv_fusion_tpu.checkpoint import load_pretrained
@@ -29,7 +35,7 @@ def main():
 
     cfg = load_config([
         "model.voxel_size=0.02",
-        "dataset.num_images=48",
+        "dataset.num_images=24",
         "dataset.img_res=[480,640]",
         "model.table_capacity=2097152",
     ])

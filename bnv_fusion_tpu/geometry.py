@@ -106,6 +106,62 @@ def get_camera_rays(uv: jnp.ndarray, T_wc: jnp.ndarray, intr: jnp.ndarray):
     return dirs, cam_loc
 
 
+def aabb_intersection(a: np.ndarray, b: np.ndarray) -> float:
+    """Intersection volume of two AABBs given as [2, 3] (min, max) rows
+    (reference geometry.py:112-279 AABB helpers)."""
+    lo = np.maximum(a[0], b[0])
+    hi = np.minimum(a[1], b[1])
+    ext = np.maximum(hi - lo, 0.0)
+    return float(np.prod(ext))
+
+
+def aabb_volume(a: np.ndarray) -> float:
+    return float(np.prod(np.maximum(a[1] - a[0], 0.0)))
+
+
+def aabb_iou(a: np.ndarray, b: np.ndarray) -> float:
+    inter = aabb_intersection(a, b)
+    union = aabb_volume(a) + aabb_volume(b) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def aabb_giou(a: np.ndarray, b: np.ndarray) -> float:
+    """Generalized IoU for AABBs (reference geometry.py GIoU helper)."""
+    inter = aabb_intersection(a, b)
+    union = aabb_volume(a) + aabb_volume(b) - inter
+    hull = np.stack([np.minimum(a[0], b[0]), np.maximum(a[1], b[1])])
+    hull_vol = aabb_volume(hull)
+    iou = inter / union if union > 0 else 0.0
+    return iou - (hull_vol - union) / hull_vol if hull_vol > 0 else iou
+
+
+class DepthNoiseSimulator:
+    """Parametric Kinect-style depth noise (reference geometry.Simulator,
+    src/utils/geometry.py:11-72, which loads a disparity distortion model
+    file that is not vendored; this uses the standard axial noise model
+    sigma(z) = a + b (z - z0)^2 plus small lateral pixel shuffling)."""
+
+    def __init__(self, seed: int = 0, a: float = 0.0012, b: float = 0.0019,
+                 z0: float = 0.4, lateral_px: float = 0.8):
+        self.rng = np.random.RandomState(seed)
+        self.a, self.b, self.z0 = a, b, z0
+        self.lateral_px = lateral_px
+
+    def simulate(self, depth: np.ndarray) -> np.ndarray:
+        h, w = depth.shape
+        valid = depth > 0
+        sigma = self.a + self.b * np.square(depth - self.z0)
+        noisy = depth + self.rng.randn(h, w) * sigma
+        # lateral: jitter sampling position by ~1px
+        du = np.clip(np.round(self.rng.randn(h, w) * self.lateral_px), -2, 2)
+        dv = np.clip(np.round(self.rng.randn(h, w) * self.lateral_px), -2, 2)
+        uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+        su = np.clip(uu + du, 0, w - 1).astype(np.int64)
+        sv = np.clip(vv + dv, 0, h - 1).astype(np.int64)
+        noisy = noisy[sv, su]
+        return np.where(valid, np.maximum(noisy, 0.0), 0.0).astype(np.float32)
+
+
 def load_K_Rt_from_P(P: np.ndarray):
     """Decompose a 3x4 projection matrix into intrinsics + c2w pose (numpy).
 

@@ -147,6 +147,36 @@ def marching_tetrahedra(cell_origins: np.ndarray, cell_sdf: np.ndarray,
     return Mesh(vertices, faces)
 
 
+def laplacian_smooth(mesh: Mesh, iterations: int = 1,
+                     lam: float = 0.5) -> Mesh:
+    """Umbrella-operator Laplacian smoothing (the 1-iteration smooth in the
+    reference's post-processing, src/utils/o3d_helper.py:220-241)."""
+    v = mesh.vertices.astype(np.float64)
+    f = mesh.faces
+    if len(v) == 0 or len(f) == 0:
+        return mesh
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+    edges = np.concatenate([edges, edges[:, ::-1]], axis=0)
+    for _ in range(iterations):
+        acc = np.zeros_like(v)
+        cnt = np.zeros((len(v), 1))
+        np.add.at(acc, edges[:, 0], v[edges[:, 1]])
+        np.add.at(cnt, edges[:, 0], 1.0)
+        avg = acc / np.maximum(cnt, 1.0)
+        has = cnt[:, 0] > 0
+        v[has] = v[has] + lam * (avg[has] - v[has])
+    return Mesh(v.astype(np.float32), f)
+
+
+def post_process_mesh(mesh: Mesh, vertex_threshold: float,
+                      smooth_iterations: int = 1) -> Mesh:
+    """Merge close vertices, drop degenerate faces, smooth — the equivalent
+    of o3d_helper.post_process_mesh (reference src/utils/o3d_helper.py:220-241:
+    merge @ voxel/4, cleanup, 1-iter smoothing)."""
+    out = merge_vertices(mesh, vertex_threshold)
+    return laplacian_smooth(out, smooth_iterations)
+
+
 def merge_vertices(mesh: Mesh, tol: float) -> Mesh:
     """Weld vertices within ``tol`` (grid rounding) and drop degenerate faces.
 

@@ -92,6 +92,11 @@ def main(argv=None):
 
     m = nmap.extract_mesh()
     if m is not None:
+        # final post-process: vertex merge @ voxel/4 + 1-iter smoothing
+        # (reference run_e2e.py:292-293, o3d_helper.post_process_mesh)
+        if bool(getattr(cfg.trainer, "post_process", True)):
+            m = mesh_mod.post_process_mesh(
+                m, vertex_threshold=nmap.voxel_size / 4)
         mesh_mod.save_ply(os.path.join(working_dir, "final.ply"), m)
         log.info(f"final mesh: {len(m.vertices)} verts -> "
                  f"{working_dir}/final.ply")
