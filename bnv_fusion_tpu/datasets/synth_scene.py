@@ -147,6 +147,55 @@ def gt_mesh(scene: SceneSpec, bounds: float = 1.3, resolution: int = 192
                           step * 1e-3)
 
 
+@register("synthetic_fusion_frames")
+class SyntheticFusionFramesDataset:
+    """Multi-view end-to-end training data (the FusionDataset role, reference
+    src/datasets/fusion_dataset.py:61-300): per frame, a world oriented point
+    cloud plus world query points with exact SDF supervision.
+
+    Feeds the ``training_global`` branch of the pretraining trainer.
+    """
+
+    def __init__(self, cfg, stage: str = "train"):
+        self.base = SyntheticDemoDataset(cfg, stage)
+        d = cfg.dataset
+        self.n_training_pts = int(getattr(d, "n_training_pts", 2048))
+        self.voxel_size = float(cfg.model.voxel_size)
+        import bnv_fusion_tpu.voxel as vx
+
+        mn, mx, n_xyz = vx.get_world_range(self.base.dimensions,
+                                           self.voxel_size)
+        self.bound_min, self.bound_max, self.n_xyz = mn, mx, n_xyz
+        self.dimensions = self.base.dimensions
+        self.seed = 0 if stage == "train" else 77777
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx: int):
+        rng = np.random.RandomState(self.seed + idx)
+        pts_w, normals_w, valid = self.base.frame_pointcloud(idx)
+        input_pts = np.concatenate([pts_w, normals_w], -1)
+        # queries near the observed surface + uniform in bounds
+        q = self.n_training_pts
+        sel = rng.choice(np.nonzero(valid)[0], q // 2)
+        near = pts_w[sel] + rng.randn(q // 2, 3).astype(np.float32) * \
+            (2 * self.voxel_size)
+        uniform = rng.uniform(self.bound_min, self.bound_max,
+                              (q - q // 2, 3)).astype(np.float32)
+        training_pts = np.concatenate([near, uniform], 0)
+        gt = np.clip(self.base.scene.sdf(training_pts),
+                     -1.0, 1.0).astype(np.float32)
+        return {
+            "input_pts": input_pts,
+            "valid": valid,
+            "training_pts": training_pts,
+            "gt": gt,
+            "bound_min": self.bound_min,
+            "bound_max": self.bound_max,
+        }
+
+
 @register("synthetic_demo")
 class SyntheticDemoDataset:
     """Posed depth stream of the analytic demo scene.
@@ -193,6 +242,29 @@ class SyntheticDemoDataset:
 
     def gt_mesh(self, resolution: int = 192) -> Mesh:
         return gt_mesh(self.scene, resolution=resolution)
+
+    def frame_pointcloud(self, idx: int):
+        """(pts_w [N,3], normals_w [N,3], valid [N]) for one frame (host)."""
+        f = self[idx]
+        depth, T_wc, intr = f["depth"], f["T_wc"], f["intr_mat"]
+        h, w = depth.shape
+        uu, vv = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        z = depth
+        x = (uu - intr[0, 2]) / intr[0, 0] * z
+        y = (vv - intr[1, 2]) / intr[1, 1] * z
+        cam = np.stack([x, y, z], -1).reshape(-1, 3)
+        pts_w = cam @ T_wc[:3, :3].T + T_wc[:3, 3]
+        # analytic normals from the scene SDF (finite differences)
+        eps = 1e-3
+        d0 = self.scene.sdf(pts_w)
+        g = np.stack([self.scene.sdf(pts_w + np.array([eps, 0, 0])) - d0,
+                      self.scene.sdf(pts_w + np.array([0, eps, 0])) - d0,
+                      self.scene.sdf(pts_w + np.array([0, 0, eps])) - d0],
+                     -1) / eps
+        g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+        valid = (depth > 0).reshape(-1)
+        return pts_w.astype(np.float32), g.astype(np.float32), valid
 
     def gt_observed_points(self, n: int = 100000, seed: int = 0) -> np.ndarray:
         """Exact ground-truth surface points restricted to OBSERVED surface.

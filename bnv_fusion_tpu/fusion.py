@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from bnv_fusion_tpu import nn as bnn
-from bnv_fusion_tpu import table as tbl
+from bnv_fusion_tpu import tables as tbl
 from bnv_fusion_tpu import voxel
 
 
@@ -70,12 +70,12 @@ def encode_corner_features(params: Dict[str, Any], pts_w: jnp.ndarray,
     return corners, feats, valid8
 
 
-def fuse_frame(table: tbl.SparseVoxelTable, params: Dict[str, Any],
+def fuse_frame(table: tbl.AnyTable, params: Dict[str, Any],
                pts_w: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray,
                bound_min: jnp.ndarray, bound_max: jnp.ndarray,
                voxel_size: float, min_pts_in_grid: int,
                compute_dtype=jnp.float32
-               ) -> Tuple[tbl.SparseVoxelTable, FrameStats]:
+               ) -> Tuple[tbl.AnyTable, FrameStats]:
     """Integrate one frame's oriented point cloud into the sparse volume.
 
     Fixed shapes: [N] points with a validity mask (padding allowed).  Safe to
@@ -139,7 +139,7 @@ def make_fuse_frame_fn(voxel_size: float, min_pts_in_grid: int,
 # SDF decode through the sparse volume (the global-fusion / meshing hot path)
 # ---------------------------------------------------------------------------
 
-def decode_points(features: jnp.ndarray, table: tbl.SparseVoxelTable,
+def decode_points(features: jnp.ndarray, table: tbl.AnyTable,
                   params: Dict[str, Any], pts: jnp.ndarray,
                   bound_min: jnp.ndarray, voxel_size: float,
                   min_pts_in_grid: int,
@@ -209,8 +209,8 @@ def _sample_delta_nearest(sdf_delta: jnp.ndarray, corners: jnp.ndarray,
     return jnp.where(inside, vals, 0.0)
 
 
-def bump_optim_weights(table: tbl.SparseVoxelTable,
-                       corners: jnp.ndarray) -> tbl.SparseVoxelTable:
+def bump_optim_weights(table: tbl.AnyTable,
+                       corners: jnp.ndarray) -> tbl.AnyTable:
     """+1 weight on voxels touched by optimization rays (once per call).
 
     Replicates SparseVolume.count_optim (reference

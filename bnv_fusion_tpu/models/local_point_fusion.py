@@ -53,12 +53,34 @@ def pretrain_loss(params: Dict[str, Any], input_pts: jnp.ndarray,
     return loss, {"bce_loss": bce, "reg_loss": reg}
 
 
+def global_pretrain_loss(params: Dict[str, Any], input_pts: jnp.ndarray,
+                         normals: jnp.ndarray, valid: jnp.ndarray,
+                         training_pts: jnp.ndarray, gt_sdf: jnp.ndarray,
+                         bound_min, bound_max, voxel_size: float,
+                         n_xyz, min_pts: int) -> Tuple[jnp.ndarray, Dict]:
+    """End-to-end (training_global) loss: encode a whole frame's points into
+    a dense grid and regress SDF at world query points
+    (reference local_point_fusion.py:421-442)."""
+    from bnv_fusion_tpu import dense_grid
+
+    feat_grid, cnt_grid = dense_grid.encode_pointcloud_dense(
+        params, input_pts, normals, valid, bound_min, bound_max,
+        voxel_size, n_xyz, min_pts)
+    coords = (training_pts - bound_min) / voxel_size
+    pred = dense_grid.decode_dense_grid(params, feat_grid, cnt_grid, coords,
+                                        voxel_size, min_pts)
+    bce = jnp.mean(jnp.abs(pred - gt_sdf))
+    return bce, {"bce_loss": bce}
+
+
 @register("lit_fusion_pointnet")
 class FusionPointNetTrainer:
     """Train loop driver (the reference's LightningModule + pl.Trainer role)."""
 
     def __init__(self, cfg):
         self.cfg = cfg
+        self.training_global = bool(getattr(cfg.model, "training_global",
+                                            False))
         self.min_pts = int(cfg.model.min_pts_in_grid)
         self.n_local = int(getattr(cfg.dataset, "n_local_samples", 64))
         self.reg_weight = float(cfg.model.loss.reg_loss)
@@ -89,6 +111,42 @@ class FusionPointNetTrainer:
             return params, opt_state, loss, logs
 
         return step
+
+    def _build_global_step(self, voxel_size: float, n_xyz):
+        min_pts = self.min_pts
+        n_xyz = tuple(int(v) for v in n_xyz)
+        grad_fn = jax.value_and_grad(
+            partial(global_pretrain_loss, voxel_size=voxel_size,
+                    n_xyz=n_xyz, min_pts=min_pts), has_aux=True)
+        opt = self.optimizer
+
+        @jax.jit
+        def step(params, opt_state, pts, normals, valid, training_pts, gt,
+                 bound_min, bound_max):
+            (loss, logs), g = grad_fn(params, pts, normals, valid,
+                                      training_pts, gt, bound_min, bound_max)
+            updates, opt_state = opt.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, logs
+
+        return step
+
+    def train_step_global(self, batch: Dict[str, np.ndarray],
+                          voxel_size: float, n_xyz):
+        """End-to-end training over one frame (training_global=True branch,
+        reference local_point_fusion.py:421-442)."""
+        if not hasattr(self, "_gstep"):
+            self._gstep = self._build_global_step(voxel_size, n_xyz)
+        self.params, self.opt_state, loss, logs = self._gstep(
+            self.params, self.opt_state,
+            jnp.asarray(batch["input_pts"][..., :3]),
+            jnp.asarray(batch["input_pts"][..., 3:]),
+            jnp.asarray(batch.get("valid",
+                                  np.ones(batch["input_pts"].shape[:-1],
+                                          bool))),
+            jnp.asarray(batch["training_pts"]), jnp.asarray(batch["gt"]),
+            jnp.asarray(batch["bound_min"]), jnp.asarray(batch["bound_max"]))
+        return float(loss), {k: float(v) for k, v in logs.items()}
 
     def train_step(self, batch: Dict[str, np.ndarray]):
         self._key, k = jax.random.split(self._key)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import optax
 
 from bnv_fusion_tpu import fusion, geometry, render
-from bnv_fusion_tpu import table as tbl
+from bnv_fusion_tpu import tables as tbl
 
 
 class OptimState(NamedTuple):
@@ -93,7 +93,7 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
 
     grad_fn = jax.value_and_grad(chunk_loss, argnums=0, has_aux=True)
 
-    def step(state: OptimState, table: tbl.SparseVoxelTable,
+    def step(state: OptimState, table: tbl.AnyTable,
              depth: jnp.ndarray, T_wc: jnp.ndarray, intr: jnp.ndarray,
              bound_min: jnp.ndarray, n_xyz: jnp.ndarray,
              sdf_delta: jnp.ndarray | None, key) -> Tuple[OptimState, jnp.ndarray]:
@@ -142,6 +142,6 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
     return opt, jax.jit(step, donate_argnums=(0,))
 
 
-def init_optim_state(opt, table: tbl.SparseVoxelTable) -> OptimState:
+def init_optim_state(opt, table: tbl.AnyTable) -> OptimState:
     return OptimState(features=table.features, weights=table.weights,
                       opt_state=opt.init(table.features))

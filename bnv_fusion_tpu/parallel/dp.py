@@ -31,15 +31,17 @@ from jax import shard_map
 
 from bnv_fusion_tpu import fusion, render
 from bnv_fusion_tpu import nn as bnn
-from bnv_fusion_tpu import table as tbl
-from bnv_fusion_tpu import voxel
+from bnv_fusion_tpu import tables as tbl
 
 
 def make_sharded_fuse_frame(mesh: Mesh, params: Dict[str, Any],
                             voxel_size: float, min_pts_in_grid: int,
+                            example_table: tbl.AnyTable,
                             axis: str = "dp"):
     """Jitted fuse step with points sharded over ``axis``.
 
+    ``example_table`` provides the table pytree structure for the replicated
+    sharding specs (works with both the dense slot-map and hash tables).
     Signature: step(table, pts_w [N,3], normals [N,3], valid [N], bound_min,
     bound_max) -> (table, stats); N must divide the mesh size.
     """
@@ -92,8 +94,7 @@ def make_sharded_fuse_frame(mesh: Mesh, params: Dict[str, Any],
         )
         return table, stats
 
-    table_spec = tbl.SparseVoxelTable(
-        keys=P(), features=P(), weights=P(), num_hits=P(), overflow=P())
+    table_spec = tbl.replicated_spec(example_table)
     stats_spec = fusion.FrameStats(n_avg_pts=P(), n_touched=P(),
                                    n_valid_pts=P())
     sharded = shard_map(
@@ -107,7 +108,9 @@ def make_sharded_fuse_frame(mesh: Mesh, params: Dict[str, Any],
 def make_sharded_optimize_step(mesh: Mesh, params: Dict[str, Any],
                                voxel_size: float, min_pts_in_grid: int,
                                truncated_units: int, truncated_dist: float,
-                               ray_max_dist: float, lr: float = 1e-3,
+                               ray_max_dist: float,
+                               example_table: tbl.AnyTable = None,
+                               lr: float = 1e-3,
                                axis: str = "dp"):
     """Jitted global-fusion training step with rays sharded over ``axis``.
 
@@ -148,8 +151,7 @@ def make_sharded_optimize_step(mesh: Mesh, params: Dict[str, Any],
         features = optax.apply_updates(features, updates)
         return features, weights, opt_state, loss
 
-    table_spec = tbl.SparseVoxelTable(
-        keys=P(), features=P(), weights=P(), num_hits=P(), overflow=P())
+    table_spec = tbl.replicated_spec(example_table)
     rays_spec = render.Rays(
         uv=P(axis), gt_pts=P(axis), mask=P(axis), neighbor_pts=P(axis),
         neighbor_masks=P(axis), T_wc=P(), intr=P())

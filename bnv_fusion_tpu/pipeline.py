@@ -29,7 +29,7 @@ import numpy as np
 
 from bnv_fusion_tpu import checkpoint as ckpt_io
 from bnv_fusion_tpu import fusion, geometry, mesh as mesh_mod, optimize, tsdf
-from bnv_fusion_tpu import table as tbl
+from bnv_fusion_tpu import tables as tbl
 from bnv_fusion_tpu import voxel as vx
 
 
@@ -74,7 +74,7 @@ class NeuralMap:
 
         if capacity is None:
             capacity = int(getattr(m, "table_capacity", 1 << 21))
-        self.table = tbl.create_table(capacity, self.feat_dims)
+        self.table = tbl.create_table(self.feat_dims, capacity, n_xyz=n_xyz)
 
         self.tsdf_voxel_size = float(getattr(m, "tsdf_voxel_size", 0.025))
         self.tsdf_vol, _ = tsdf.create_tsdf_volume(self.dimensions,
@@ -222,5 +222,5 @@ class NeuralMap:
     def load_volume(self, path: str):
         data = ckpt_io.load_state(path)
         self.table = tbl.load_entries(
-            self.table.capacity, data["active_coordinates"],
+            self.table, data["active_coordinates"],
             data["features"], data["weights"], data["num_hits"])

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from bnv_fusion_tpu import fusion, geometry, voxel
-from bnv_fusion_tpu import table as tbl
+from bnv_fusion_tpu import tables as tbl
 
 
 class Rays(NamedTuple):
@@ -73,7 +73,7 @@ def hierarchical_sampling(key, n_fine: int, n_coarse: int,
     return pts, dists
 
 
-def render_rays_sdf(features: jnp.ndarray, table: tbl.SparseVoxelTable,
+def render_rays_sdf(features: jnp.ndarray, table: tbl.AnyTable,
                     params: Dict[str, Any], rays: Rays, key,
                     bound_min: jnp.ndarray, voxel_size: float,
                     min_pts_in_grid: int, truncated_units: int,
@@ -128,7 +128,7 @@ def compute_sdf_loss(rays: Rays, pred_sdf: jnp.ndarray, pred_pts: jnp.ndarray,
     return jnp.sum(l1 * rays.mask[:, None]) / num_valid
 
 
-def calculate_loss(features: jnp.ndarray, table: tbl.SparseVoxelTable,
+def calculate_loss(features: jnp.ndarray, table: tbl.AnyTable,
                    params: Dict[str, Any], rays: Rays, key,
                    bound_min: jnp.ndarray, voxel_size: float,
                    min_pts_in_grid: int, truncated_units: int,

@@ -1,0 +1,174 @@
+"""Dense slot-map sparse voxel table: direct addressing, zero probe loops.
+
+TPU microbenchmarks on v5e showed that XLA's gathers/scatters over millions of
+irregular indices are fast (~0.1 ms for 2.4M rows), while any probing loop
+(lax.while_loop/fori over hash rounds) is catastrophically slow on this
+backend.  So the default table drops hashing entirely:
+
+* ``slot_map``: a dense int32 array over the scene's voxel grid
+  (flat id -> slot, -1 = unallocated).  For every reference operating point
+  this is small (lounge @1cm: 85M voxels = 340 MB; typical @2cm: ~100 MB).
+* values stay COMPACTED in [capacity, F] arrays (latents trainable by Adam,
+  mesh extraction walks only allocated slots).
+* batch insert is loop-free: gather -> first-occurrence claim (one scatter-min
+  into a dense temp) -> prefix-sum slot assignment -> unique-index scatters.
+
+This replaces Open3D's GPU HashMap (reference src/models/sparse_volume.py)
+with an O(1)-probe structure; the open-addressing variant in
+bnv_fusion_tpu.table remains for scenes whose voxel count exceeds memory.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+class DenseIndexedTable(struct.PyTreeNode):
+    slot_map: jnp.ndarray   # [n_voxels] int32, -1 = unallocated
+    coords: jnp.ndarray     # [capacity, 3] int32 coords per slot (-1 empty)
+    features: jnp.ndarray   # [capacity, F] float32
+    weights: jnp.ndarray    # [capacity] float32
+    num_hits: jnp.ndarray   # [capacity] float32
+    n_alloc: jnp.ndarray    # [] int32
+    overflow: jnp.ndarray   # [] int32
+    n_xyz: jnp.ndarray      # [3] int32 (static-valued; carried for flat ids)
+
+    @property
+    def capacity(self) -> int:
+        return self.features.shape[0]
+
+    @property
+    def feat_dims(self) -> int:
+        return self.features.shape[1]
+
+
+def create_dense_table(n_xyz, capacity: int, feat_dims: int
+                       ) -> DenseIndexedTable:
+    n_xyz = np.asarray(n_xyz, np.int64)
+    n_vox = int(n_xyz[0]) * int(n_xyz[1]) * int(n_xyz[2])
+    if n_vox >= 2 ** 31:
+        raise ValueError(
+            f"voxel grid {n_xyz.tolist()} has {n_vox} cells; flat ids exceed "
+            "int32 — use the open-addressing SparseVoxelTable instead")
+    return DenseIndexedTable(
+        slot_map=jnp.full((n_vox,), -1, jnp.int32),
+        coords=jnp.full((capacity, 3), -1, jnp.int32),
+        features=jnp.zeros((capacity, feat_dims), jnp.float32),
+        weights=jnp.zeros((capacity,), jnp.float32),
+        num_hits=jnp.zeros((capacity,), jnp.float32),
+        n_alloc=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), jnp.int32),
+        n_xyz=jnp.asarray(n_xyz.astype(np.int32)),
+    )
+
+
+def _flat_ids(table: DenseIndexedTable, keys: jnp.ndarray,
+              valid: jnp.ndarray) -> jnp.ndarray:
+    n = table.n_xyz
+    inside = jnp.all((keys >= 0) & (keys < n), axis=-1) & valid
+    f = (keys[:, 0] * (n[1] * n[2]) + keys[:, 1] * n[2] + keys[:, 2])
+    return jnp.where(inside, f, -1), inside
+
+
+def lookup(table: DenseIndexedTable, query: jnp.ndarray,
+           valid: jnp.ndarray | None = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Find slots for [M, 3] keys: one gather.  Returns (slots, found)."""
+    if valid is None:
+        valid = jnp.ones((query.shape[0],), bool)
+    flat, inside = _flat_ids(table, query, valid)
+    slots = jnp.where(inside, table.slot_map[jnp.maximum(flat, 0)], -1)
+    found = slots >= 0
+    return jnp.maximum(slots, 0), found
+
+
+def insert(table: DenseIndexedTable, new_keys: jnp.ndarray,
+           valid: jnp.ndarray) -> Tuple[DenseIndexedTable, jnp.ndarray, jnp.ndarray]:
+    """Loop-free insert-or-find of [M, 3] keys (duplicates allowed).
+
+    Returns (table, slots [M], ok [M]).  Overflowing keys (capacity
+    exhausted) are dropped and counted.
+    """
+    m = new_keys.shape[0]
+    cap = table.capacity
+    n_vox = table.slot_map.shape[0]
+    flat, inside = _flat_ids(table, new_keys, valid)
+    flat_safe = jnp.maximum(flat, 0)
+
+    existing = jnp.where(inside, table.slot_map[flat_safe], -1)
+    is_new = inside & (existing < 0)
+
+    # first occurrence of each distinct new flat id: scatter-min of batch pos
+    pos = jnp.arange(m, dtype=jnp.int32)
+    claim_idx = jnp.where(is_new, flat, n_vox)  # invalid -> dropped
+    claim = jnp.full((n_vox,), m, jnp.int32).at[claim_idx].min(
+        jnp.where(is_new, pos, m), mode="drop")
+    winner = is_new & (claim[flat_safe] == pos)
+
+    # contiguous slot ids for winners, in batch order
+    rank = jnp.cumsum(winner.astype(jnp.int32)) - 1
+    assign = table.n_alloc + rank
+    fits = winner & (assign < cap)
+    n_new_total = jnp.sum(winner).astype(jnp.int32)
+    n_new_fit = jnp.sum(fits).astype(jnp.int32)
+
+    # write the new slots (unique indices -> fast scatter)
+    map_idx = jnp.where(fits, flat, n_vox)
+    slot_map = table.slot_map.at[map_idx].set(
+        jnp.where(fits, assign, 0), mode="drop")
+    coord_idx = jnp.where(fits, assign, cap)
+    coords = table.coords.at[coord_idx].set(new_keys, mode="drop",
+                                            unique_indices=True)
+
+    # final slots for every occurrence
+    slots = jnp.where(inside, slot_map[flat_safe], -1)
+    ok = slots >= 0
+
+    table = table.replace(
+        slot_map=slot_map,
+        coords=coords,
+        n_alloc=jnp.minimum(table.n_alloc + n_new_total, cap),
+        overflow=table.overflow + (n_new_total - n_new_fit),
+    )
+    return table, jnp.maximum(slots, 0), ok
+
+
+def occupancy(table: DenseIndexedTable) -> jnp.ndarray:
+    return table.n_alloc
+
+
+def gather_values(table: DenseIndexedTable, slots: jnp.ndarray,
+                  found: jnp.ndarray):
+    f = jnp.where(found[:, None], table.features[slots], 0.0)
+    w = jnp.where(found, table.weights[slots], 0.0)
+    h = jnp.where(found, table.num_hits[slots], 0.0)
+    return f, w, h
+
+
+def active_entries(table: DenseIndexedTable):
+    """Host-side extraction of allocated entries (coords, feats, w, hits, idx)."""
+    n = int(table.n_alloc)
+    keys = np.asarray(table.coords[:n])
+    return (keys, np.asarray(table.features[:n]),
+            np.asarray(table.weights[:n]), np.asarray(table.num_hits[:n]),
+            np.arange(n))
+
+
+def load_entries(n_xyz, capacity: int, coords, features, weights, num_hits
+                 ) -> DenseIndexedTable:
+    feat_dims = features.shape[1]
+    table = create_dense_table(n_xyz, capacity, feat_dims)
+    coords = jnp.asarray(coords, jnp.int32)
+    table, slots, ok = insert(table, coords,
+                              jnp.ones((coords.shape[0],), bool))
+    return table.replace(
+        features=table.features.at[slots].set(jnp.asarray(features)),
+        weights=table.weights.at[slots].set(
+            jnp.asarray(weights).reshape(-1)),
+        num_hits=table.num_hits.at[slots].set(
+            jnp.asarray(num_hits).reshape(-1)),
+    )

@@ -45,7 +45,8 @@ def test_sharded_fuse_matches_single_device(rng, params):
         jnp.asarray(bound_min), jnp.asarray(bound_max), vs, min_pts)
 
     mesh = make_mesh(8)
-    step = make_sharded_fuse_frame(mesh, params, vs, min_pts)
+    step = make_sharded_fuse_frame(mesh, params, vs, min_pts,
+                                   example_table=t1)
     t2 = tbl.create_table(4096, 8)
     t2, s2 = step(t2, jnp.asarray(pts), jnp.asarray(normals), valid,
                   jnp.asarray(bound_min), jnp.asarray(bound_max))
@@ -90,7 +91,7 @@ def test_sharded_optimize_step_runs_and_matches_grads(rng, params):
     n_xyz = jnp.asarray(np.array([22, 22, 22], np.int32))
     opt, step = make_sharded_optimize_step(
         mesh, params, vs, min_pts, truncated_units=2, truncated_dist=0.1,
-        ray_max_dist=2.0, lr=1e-3)
+        ray_max_dist=2.0, example_table=t, lr=1e-3)
     opt_state = opt.init(t.features)
     feats, weights, opt_state, loss = step(
         t.features, t.weights, opt_state, t, rays, jax.random.key(7),

@@ -96,7 +96,7 @@ def test_save_load_roundtrip(fused_map, cfg, dataset, tmp_path):
 
     nm2 = NeuralMap(dataset.dimensions, cfg, fused_map.params)
     nm2.load_volume(prefix + "_sparse_volume.npz")
-    from bnv_fusion_tpu import table as tbl
+    from bnv_fusion_tpu import tables as tbl
 
     k1, f1, w1, _, _ = tbl.active_entries(fused_map.table)
     k2, f2, w2, _, _ = tbl.active_entries(nm2.table)
