@@ -246,12 +246,17 @@ def build_sample_lattice(active_coords: np.ndarray):
 
 def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
                  voxel_size: float, batch_size: int = 262144,
-                 merge_tol_factor: float = 0.25) -> Optional[Mesh]:
+                 merge_tol_factor: float = 0.25,
+                 use_native: bool = True) -> Optional[Mesh]:
     """Decode the SDF on the half lattice and run marching tetrahedra.
 
     ``decode_fn(coords_f32 [B, 3]) -> sdf [B]`` evaluates the sparse volume at
     *voxel* coordinates (is_coords=True path of fusion.decode_points); it is
     called with fixed-size padded batches so it can be a jitted closure.
+
+    Surface extraction runs in the native C++ component when available (one
+    pass with fused vertex welding); the vectorized numpy path is the
+    fallback.
     """
     if len(active_coords) == 0:
         return None
@@ -268,6 +273,21 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
 
     cell_sdf = sdf[corner_idx]                                  # [M, 8]
     crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
+    # weld tolerance in lattice units: lattice step = voxel_size / 2
+    lattice_tol = merge_tol_factor * 2.0
+
+    if use_native:
+        from bnv_fusion_tpu import native
+
+        out = native.marching_tetrahedra_native(
+            cells[crossing], cell_sdf[crossing], weld_tol=lattice_tol)
+        if out is not None:
+            verts, faces = out
+            if len(verts) == 0:
+                return None
+            verts = verts / 2.0 * voxel_size + np.asarray(min_coords)
+            return Mesh(verts.astype(np.float32), faces)
+
     mesh = marching_tetrahedra(cells[crossing], cell_sdf[crossing])
     if len(mesh.vertices) == 0:
         return None

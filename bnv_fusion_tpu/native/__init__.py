@@ -1,0 +1,82 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Builds on first use with the system compiler (g++/cc); every consumer has a
+pure-numpy fallback, so the framework works without a toolchain too.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_BUILD_FAILED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _BUILD_FAILED
+    with _LOCK:
+        if _LIB is not None or _BUILD_FAILED:
+            return _LIB
+        here = os.path.dirname(os.path.abspath(__file__))
+        src = os.path.join(here, "mesh_ops.cpp")
+        lib_path = os.path.join(here, "libmesh_ops.so")
+        try:
+            if (not os.path.exists(lib_path) or
+                    os.path.getmtime(lib_path) < os.path.getmtime(src)):
+                subprocess.run(
+                    ["c++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     src, "-o", lib_path],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(lib_path)
+            lib.mesh_ops_marching_tets.restype = ctypes.c_int64
+            lib.mesh_ops_marching_tets.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_double]
+            lib.mesh_ops_num_vertices.restype = ctypes.c_int64
+            lib.mesh_ops_get.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                         ctypes.POINTER(ctypes.c_int32)]
+            _LIB = lib
+        except Exception:
+            _BUILD_FAILED = True
+        return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def marching_tetrahedra_native(cell_origins: np.ndarray,
+                               cell_sdf: np.ndarray,
+                               weld_tol: float = 0.0):
+    """C++ marching tetrahedra over sparse cells, with optional in-pass weld.
+
+    Returns (vertices [V,3] float32 in lattice units, faces [F,3] int32) or
+    None when the native library is unavailable.
+    """
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    origins = np.ascontiguousarray(cell_origins, np.int64)
+    sdf = np.ascontiguousarray(cell_sdf, np.float32)
+    with _LOCK:
+        n_faces = lib.mesh_ops_marching_tets(
+            origins.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sdf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(origins), float(weld_tol))
+        n_verts = lib.mesh_ops_num_vertices()
+        verts = np.empty((n_verts, 3), np.float32)
+        faces = np.empty((n_faces, 3), np.int32)
+        if n_verts:
+            lib.mesh_ops_get(
+                verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        lib.mesh_ops_free()
+    return verts, faces

@@ -1,0 +1,77 @@
+"""Native C++ marching tetrahedra vs the numpy reference implementation."""
+
+import numpy as np
+import pytest
+
+from bnv_fusion_tpu import mesh as m
+from bnv_fusion_tpu import native
+
+
+def _sphere_cells(radius=5.0, extent=8):
+    rng = np.arange(-extent, extent)
+    origins = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"),
+                       axis=-1).reshape(-1, 3)
+    corners = origins[:, None, :] + m._CUBE_CORNERS[None, :, :]
+    sdf = (np.linalg.norm(corners, axis=-1) - radius).astype(np.float32)
+    return origins, sdf
+
+
+@pytest.fixture(scope="module")
+def native_ok():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    return True
+
+
+def test_native_matches_numpy_triangles(native_ok):
+    origins, sdf = _sphere_cells()
+    ref = m.marching_tetrahedra(origins, sdf)
+    verts, faces = native.marching_tetrahedra_native(origins, sdf, 0.0)
+    # unwelded native output: identical triangle soup (same order)
+    np.testing.assert_allclose(
+        verts[faces].reshape(-1, 9),
+        ref.vertices[ref.faces].reshape(-1, 9), atol=1e-5)
+
+
+def test_native_weld_reduces_vertices(native_ok):
+    origins, sdf = _sphere_cells()
+    v0, f0 = native.marching_tetrahedra_native(origins, sdf, 0.0)
+    v1, f1 = native.marching_tetrahedra_native(origins, sdf, 1e-3)
+    assert len(v1) < len(v0)
+    # welded mesh keeps the geometry (same radius stats)
+    r = np.linalg.norm(v1, axis=-1)
+    assert abs(r.mean() - 5.0) < 0.05
+
+
+def test_native_orientation_outward(native_ok):
+    origins, sdf = _sphere_cells()
+    v, f = native.marching_tetrahedra_native(origins, sdf, 1e-3)
+    a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    n = np.cross(b - a, c - a)
+    centroid = (a + b + c) / 3
+    nondeg = np.linalg.norm(n, axis=-1) > 1e-9
+    assert ((n * centroid).sum(-1)[nondeg] > 0).all()
+
+
+def test_extract_mesh_native_path():
+    vs = 0.05
+    min_coords = np.array([-1.0, -1.0, -1.0], np.float32)
+    rng = np.arange(0, 40)
+    g = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"), -1).reshape(-1, 3)
+    world = g * vs + min_coords
+    d = np.abs(np.linalg.norm(world, axis=-1) - 0.5)
+    active = g[d < 2 * vs].astype(np.int32)
+
+    import jax.numpy as jnp
+
+    def decode_fn(coords):
+        w = np.asarray(coords) * vs + min_coords
+        return jnp.asarray(np.linalg.norm(w, axis=-1) - 0.5)
+
+    out_native = m.extract_mesh(decode_fn, active, min_coords, vs,
+                                batch_size=8192, use_native=True)
+    out_numpy = m.extract_mesh(decode_fn, active, min_coords, vs,
+                               batch_size=8192, use_native=False)
+    for out in (out_native, out_numpy):
+        r = np.linalg.norm(out.vertices, axis=-1)
+        assert abs(r.mean() - 0.5) < 0.005
