@@ -74,13 +74,23 @@ def fuse_frame(table: tbl.AnyTable, params: Dict[str, Any],
                pts_w: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray,
                bound_min: jnp.ndarray, bound_max: jnp.ndarray,
                voxel_size: float, min_pts_in_grid: int,
-               compute_dtype=jnp.float32
+               compute_dtype=jnp.float32,
+               max_unique: int = 1 << 19
                ) -> Tuple[tbl.AnyTable, FrameStats]:
     """Integrate one frame's oriented point cloud into the sparse volume.
 
     Fixed shapes: [N] points with a validity mask (padding allowed).  Safe to
     jit with ``voxel_size``/``min_pts_in_grid`` static.
+
+    Dense tables take the sort-reduce fast path (fuse_frame_sorted); the
+    open-addressing fallback uses capacity-sized scatter accumulators.
     """
+    from bnv_fusion_tpu import table_dense as _dense
+
+    if isinstance(table, _dense.DenseIndexedTable):
+        return fuse_frame_sorted(table, params, pts_w, normals, valid,
+                                 bound_min, bound_max, voxel_size,
+                                 min_pts_in_grid, compute_dtype, max_unique)
     n = pts_w.shape[0]
     cap = table.capacity
     fdim = table.feat_dims
@@ -118,6 +128,110 @@ def fuse_frame(table: tbl.AnyTable, params: Dict[str, Any],
     stats = FrameStats(
         n_avg_pts=jnp.sum(cnt) / jnp.maximum(n_touched, 1.0),
         n_touched=n_touched,
+        n_valid_pts=jnp.sum(valid.astype(jnp.float32)),
+    )
+    return table, stats
+
+
+def fuse_frame_sorted(table, params: Dict[str, Any],
+                      pts_w: jnp.ndarray, normals: jnp.ndarray,
+                      valid: jnp.ndarray, bound_min: jnp.ndarray,
+                      bound_max: jnp.ndarray, voxel_size: float,
+                      min_pts_in_grid: int, compute_dtype=jnp.float32,
+                      max_unique: int = 1 << 19):
+    """Sort-based per-frame fusion for dense slot-map tables.
+
+    TPU v5e profiling: XLA scatters cost ~60ns per scalar element of the
+    UPDATE batch, so capacity-sized scatter accumulators over 8N corner
+    entries dominate the frame (the original path).  Sorts and scans are
+    nearly free (2.4M x 9-operand sort: ~8 ms).  This path therefore reduces
+    the per-(point, corner) stream to per-voxel segments first:
+
+      flatten -> lexicographic sort by voxel id -> segmented inclusive scan
+      -> segment ends = per-voxel (feature sum, count) -> compact to
+      [max_unique] -> dedup-free insert -> per-touched-slot running mean.
+
+    Only O(unique voxels) elements ever enter a scatter.  Semantics are
+    identical to the scatter path (same mean, clipping and min-pts masking —
+    cross-checked against the numpy oracle in tests).
+    """
+    from bnv_fusion_tpu import table_dense as _dense
+
+    n = pts_w.shape[0]
+    m = n * 8
+    fdim = table.feat_dims
+    n_xyz = table.n_xyz
+    n_vox = table.slot_map.shape[0]
+
+    corners, feats, valid8 = encode_corner_features(
+        params, pts_w, normals, valid, bound_min, bound_max, voxel_size,
+        compute_dtype)
+    keys = corners.reshape(m, 3)
+    ok_in = valid8.reshape(m)
+    inside = jnp.all((keys >= 0) & (keys < n_xyz), axis=-1) & ok_in
+    flat = (keys[:, 0] * (n_xyz[1] * n_xyz[2]) + keys[:, 1] * n_xyz[2] +
+            keys[:, 2])
+    flat = jnp.where(inside, flat, n_vox)  # invalid entries sort last
+
+    f8 = feats.reshape(m, fdim).astype(jnp.float32)
+    sorted_ops = jax.lax.sort(
+        (flat,) + tuple(f8[:, j] for j in range(fdim)), num_keys=1)
+    flat_s = sorted_ops[0]
+    feats_s = jnp.stack(sorted_ops[1:], axis=-1)            # [M, F]
+
+    prev = jnp.concatenate([jnp.full((1,), -1, flat_s.dtype), flat_s[:-1]])
+    boundary = flat_s != prev                                # segment starts
+    entry_valid = flat_s < n_vox
+
+    # per-segment sums via cumsum + boundary diff.  Features are centered by
+    # their batch mean first so the global cumsum is a near-zero-mean random
+    # walk and the end-start cancellation stays at float32 roundoff (an
+    # uncentered all-positive channel would accumulate to ~2e6 and lose 3-4
+    # digits).  The mean contribution is added back as mean * count.
+    ch_mean = jnp.mean(feats_s, axis=0, keepdims=True)
+    cum = jnp.cumsum(feats_s - ch_mean, axis=0)              # [M, F]
+
+    nxt = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
+    is_end = nxt & entry_valid
+    n_unique = jnp.sum(is_end).astype(jnp.int32)
+
+    end_pos = jnp.nonzero(is_end, size=max_unique, fill_value=m - 1)[0]
+    start_pos = jnp.nonzero(boundary & entry_valid, size=max_unique,
+                            fill_value=m - 1)[0]
+    umask = jnp.arange(max_unique) < jnp.minimum(n_unique, max_unique)
+
+    flat_u = flat_s[end_pos]
+    cnt_u = (end_pos - start_pos + 1).astype(jnp.float32)
+    cum_lo = jnp.where((start_pos > 0)[:, None], cum[start_pos - 1], 0.0)
+    sum_u = cum[end_pos] - cum_lo + ch_mean * cnt_u[:, None]  # [U, F]
+    coords_u = voxel.unflatten_ids(flat_u, n_xyz).astype(jnp.int32)
+
+    table, slots, ok = _dense.insert_unique(table, coords_u, umask)
+    dropped = jnp.maximum(n_unique - max_unique, 0)
+
+    # per-touched-slot running mean (reference _integrate semantics)
+    mean_u = sum_u / jnp.maximum(cnt_u, 1.0)[:, None]
+    new_w = jnp.minimum(cnt_u / 32.0, 1.0)
+    keep = umask & ok & (cnt_u >= min_pts_in_grid)
+    old_w = jnp.where(keep, table.weights[slots], 0.0)
+    old_f = jnp.where(keep[:, None], table.features[slots], 0.0)
+    upd_w = old_w + new_w
+    upd_f = (old_f * old_w[:, None] + mean_u * new_w[:, None]) / \
+        jnp.maximum(upd_w, 1e-12)[:, None]
+
+    widx = jnp.where(keep, slots, table.capacity)
+    features = table.features.at[widx].set(upd_f, mode="drop",
+                                           unique_indices=True)
+    weights = table.weights.at[widx].set(upd_w, mode="drop",
+                                         unique_indices=True)
+    table = table.replace(
+        features=features, weights=weights,
+        overflow=table.overflow + dropped.astype(jnp.int32))
+
+    nf = jnp.maximum(n_unique.astype(jnp.float32), 1.0)
+    stats = FrameStats(
+        n_avg_pts=jnp.sum(jnp.where(umask, cnt_u, 0.0)) / nf,
+        n_touched=n_unique.astype(jnp.float32),
         n_valid_pts=jnp.sum(valid.astype(jnp.float32)),
     )
     return table, stats

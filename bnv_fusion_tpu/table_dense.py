@@ -137,6 +137,45 @@ def insert(table: DenseIndexedTable, new_keys: jnp.ndarray,
     return table, jnp.maximum(slots, 0), ok
 
 
+def insert_unique(table: DenseIndexedTable, keys: jnp.ndarray,
+                  valid: jnp.ndarray
+                  ) -> Tuple[DenseIndexedTable, jnp.ndarray, jnp.ndarray]:
+    """Insert-or-find [U, 3] keys that are already DEDUPLICATED.
+
+    The batch-local first-occurrence claim of ``insert`` is unnecessary when
+    the caller guarantees distinct keys (e.g. after a sort-based segment
+    reduction), leaving a handful of gathers + unique-index scatters.
+    Returns (table, slots [U], ok [U]).
+    """
+    cap = table.capacity
+    n_vox = table.slot_map.shape[0]
+    flat, inside = _flat_ids(table, keys, valid)
+    flat_safe = jnp.maximum(flat, 0)
+
+    existing = jnp.where(inside, table.slot_map[flat_safe], -1)
+    is_new = inside & (existing < 0)
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    assign = table.n_alloc + rank
+    fits = is_new & (assign < cap)
+    n_new_total = jnp.sum(is_new).astype(jnp.int32)
+    n_new_fit = jnp.sum(fits).astype(jnp.int32)
+
+    map_idx = jnp.where(fits, flat, n_vox)
+    slot_map = table.slot_map.at[map_idx].set(
+        jnp.where(fits, assign, 0), mode="drop", unique_indices=True)
+    coord_idx = jnp.where(fits, assign, cap)
+    coords = table.coords.at[coord_idx].set(keys, mode="drop",
+                                            unique_indices=True)
+
+    slots = jnp.where(fits, assign, existing)
+    ok = slots >= 0
+    table = table.replace(
+        slot_map=slot_map, coords=coords,
+        n_alloc=jnp.minimum(table.n_alloc + n_new_total, cap),
+        overflow=table.overflow + (n_new_total - n_new_fit))
+    return table, jnp.maximum(slots, 0), ok
+
+
 def occupancy(table: DenseIndexedTable) -> jnp.ndarray:
     return table.n_alloc
 
