@@ -196,13 +196,16 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
     n_unique = jnp.sum(is_end).astype(jnp.int32)
 
     end_pos = jnp.nonzero(is_end, size=max_unique, fill_value=m - 1)[0]
-    start_pos = jnp.nonzero(boundary & entry_valid, size=max_unique,
-                            fill_value=m - 1)[0]
     umask = jnp.arange(max_unique) < jnp.minimum(n_unique, max_unique)
 
+    # valid entries sort before the sentinel, so segments tile [0, ...) and
+    # segment k spans (end_{k-1}, end_k] — no second compaction needed
+    prev_end = jnp.concatenate(
+        [jnp.full((1,), -1, end_pos.dtype), end_pos[:-1]])
     flat_u = flat_s[end_pos]
-    cnt_u = (end_pos - start_pos + 1).astype(jnp.float32)
-    cum_lo = jnp.where((start_pos > 0)[:, None], cum[start_pos - 1], 0.0)
+    cnt_u = (end_pos - prev_end).astype(jnp.float32)
+    cum_lo = jnp.where((prev_end >= 0)[:, None], cum[jnp.maximum(prev_end, 0)],
+                       0.0)
     sum_u = cum[end_pos] - cum_lo + ch_mean * cnt_u[:, None]  # [U, F]
     coords_u = voxel.unflatten_ids(flat_u, n_xyz).astype(jnp.int32)
 
@@ -260,7 +263,8 @@ def decode_points(features: jnp.ndarray, table: tbl.AnyTable,
                   sdf_delta: jnp.ndarray | None = None,
                   n_xyz: jnp.ndarray | None = None,
                   is_coords: bool = False,
-                  compute_dtype=jnp.float32) -> jnp.ndarray:
+                  compute_dtype=jnp.float32,
+                  use_fused_kernel: bool = False) -> jnp.ndarray:
     """SDF at world points (or voxel coords) via 8-corner decode + blend.
 
     Rebuilds SparseVolume.decode_pts (reference
@@ -289,10 +293,17 @@ def decode_points(features: jnp.ndarray, table: tbl.AnyTable,
     feats = feats.reshape(m, 8, -1)
     w = w.reshape(m, 8)
 
-    alpha = bnn.decoder_apply(params, local, feats,
-                              compute_dtype=compute_dtype)[..., 0]  # [M,8]
-    alpha = alpha * voxel_size
-    sdf = jnp.sum(alpha * tw, axis=-1)
+    if use_fused_kernel and m % 1024 == 0:
+        # Pallas fused PE+MLP+blend (inference only — meshing); the
+        # optimization loss keeps the XLA path for autodiff
+        from bnv_fusion_tpu.kernels import fused_corner_decode
+
+        sdf = fused_corner_decode(params, local, feats, tw, voxel_size)
+    else:
+        alpha = bnn.decoder_apply(params, local, feats,
+                                  compute_dtype=compute_dtype)[..., 0]
+        alpha = alpha * voxel_size
+        sdf = jnp.sum(alpha * tw, axis=-1)
 
     # all 8 corners must carry at least min_pts weight (sparse_volume.py:809)
     mask = jnp.min(w, axis=-1) >= min_pts_in_grid

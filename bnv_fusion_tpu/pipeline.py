@@ -96,6 +96,12 @@ class NeuralMap:
     def _build_fuse_step(self):
         vs = self.voxel_size
         min_pts = self.min_pts_in_grid
+        # static compaction width of the sort-reduce fuse path: bounds the
+        # number of DISTINCT voxels one frame may touch (overflowing voxels
+        # are dropped+counted and picked up by later frames).  Typical frames
+        # touch 30-150k voxels; padded ops scale with this, so keep it tight.
+        max_unique = int(getattr(self.config.model,
+                                 "max_unique_per_frame", 1 << 17))
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(table, tsdf_vol, params, depth, T_wc, intr,
@@ -109,7 +115,7 @@ class NeuralMap:
             normals_w = geometry.rotate_vectors(T_wc, normals_cam.reshape(-1, 3))
             table, stats = fusion.fuse_frame(
                 table, params, pts_w, normals_w, valid, bound_min, bound_max,
-                vs, min_pts)
+                vs, min_pts, max_unique=max_unique)
             tsdf_vol = tsdf.integrate(tsdf_vol, depth, intr, T_wc,
                                       self.tsdf_voxel_size)
             return table, tsdf_vol, stats
@@ -176,6 +182,11 @@ class NeuralMap:
     def _build_decode(self, use_delta: bool):
         vs = self.voxel_size
         min_pts = self.min_pts_in_grid
+        # optional Pallas fused decode (measured slower than XLA for this
+        # tiny decoder on v5e — see kernels/fused_decode.py; off by default)
+        use_fused = (jax.devices()[0].platform != "cpu" and
+                     bool(getattr(self.config.model,
+                                  "use_fused_decode_kernel", False)))
 
         @jax.jit
         def decode(features, table, sdf_delta, coords):
@@ -183,7 +194,8 @@ class NeuralMap:
                 features, table, self.params, coords,
                 self.bound_min, vs, min_pts,
                 sdf_delta=sdf_delta if use_delta else None,
-                n_xyz=self.n_xyz, is_coords=True)
+                n_xyz=self.n_xyz, is_coords=True,
+                use_fused_kernel=use_fused)
 
         return decode
 
