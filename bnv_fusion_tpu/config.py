@@ -157,7 +157,13 @@ def load_config(
     for key, value in leaf_overrides:
         _set_dotted(cfg, key, value)
 
-    cfg = _interpolate(cfg, cfg)
+    # iterate to a fixpoint: interpolations may reference other interpolated
+    # values (dataset.data_dir -> ${data_dir} -> ${work_dir}/data/)
+    for _ in range(5):
+        new_cfg = _interpolate(cfg, cfg)
+        if new_cfg == cfg:
+            break
+        cfg = new_cfg
     return ConfigNode.wrap(cfg)
 
 

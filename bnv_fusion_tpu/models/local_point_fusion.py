@@ -177,12 +177,18 @@ class FusionPointNetTrainer:
         import os
 
         os.makedirs(ckpt_dir, exist_ok=True)
+        terminate_on_nan = bool(getattr(self.cfg.trainer,
+                                        "terminate_on_nan", True))
         best = float("inf")
         step = 0
         for epoch in range(max_epochs):
             for batch in iterate_batches(train_ds, batch_size, shuffle=True,
                                          seed=epoch):
                 loss, logs = self.train_step(batch)
+                if terminate_on_nan and not np.isfinite(loss):
+                    # reference trainer config: terminate_on_nan: True
+                    raise FloatingPointError(
+                        f"non-finite loss {loss} at epoch {epoch} step {step}")
                 if step % log_every == 0:
                     log.info(f"epoch {epoch} step {step} "
                              f"loss {loss:.4f} bce {logs['bce_loss']:.4f}")

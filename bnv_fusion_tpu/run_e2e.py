@@ -31,9 +31,15 @@ log = get_logger(__name__)
 
 
 def load_params(cfg):
+    """Load weights: reference .ckpt (both formats) or this framework's .npz."""
     ckpt = getattr(cfg.trainer, "checkpoint", None)
     if ckpt:
         log.info(f"loading pretrained weights from {ckpt}")
+        if str(ckpt).endswith(".npz"):
+            from bnv_fusion_tpu.checkpoint import load_state
+
+            state = load_state(ckpt)
+            return state.get("params", state)
         return load_pretrained(ckpt)
     log.warning("no trainer.checkpoint given — using random weights")
     import jax
