@@ -1,0 +1,237 @@
+"""Spatial sharding: the voxel map partitioned across chips by scene region.
+
+Data parallelism (parallel/dp.py) replicates the table; this module shards it
+— the memory-scaling story for scenes beyond one chip's HBM (SURVEY §2.5's
+"spatial sharding" design item; the reference is single-GPU and simply OOMs,
+e.g. ScanNet scene0647_00, reference run_inference_on_scannet.py:14).
+
+Scheme (1-D mesh axis "sp", D devices):
+* the dense slot map is sharded by flat voxel id into D contiguous slabs
+  (device d owns flat ids [d*n_vox/D, (d+1)*n_vox/D)); value arrays are
+  sharded by slot ([C/D, F] per device) — both scale 1/D per chip,
+* local fusion: the point batch is sharded for the PointNet encode (compute
+  DP), corner entries are all-gathered over ICI, and each device runs the
+  sort-reduce accumulation for the entries whose voxels fall in ITS slab —
+  non-owned entries mask to the sort sentinel, so ownership filtering is
+  free inside the existing fuse kernel,
+* decode: queries replicated; each device gathers latents for its owned
+  corners (zeros elsewhere) and a psum over the mesh assembles the full
+  8-corner neighborhood even when a cell straddles a slab boundary.
+
+Semantics match the single-device path exactly (same per-voxel means and
+weights; slot numbering is shard-local) — asserted in tests on the virtual
+8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bnv_fusion_tpu import fusion, nn as bnn, voxel
+from bnv_fusion_tpu import table_dense as tbd
+
+
+def create_spatial_table(mesh: Mesh, n_xyz, capacity: int, feat_dims: int,
+                         axis: str = "sp") -> tbd.DenseIndexedTable:
+    """A DenseIndexedTable whose slot_map/value arrays are sharded over the
+    mesh.  ``capacity`` is the GLOBAL slot budget (divided across shards);
+    n_vox and capacity must divide the mesh size."""
+    d = mesh.shape[axis]
+    n_xyz = np.asarray(n_xyz, np.int64)
+    n_vox = int(n_xyz.prod())
+    if n_vox % d or capacity % d:
+        raise ValueError("n_vox and capacity must divide the mesh size")
+    table = tbd.create_dense_table(n_xyz, capacity, feat_dims)
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    return table.replace(
+        slot_map=jax.device_put(table.slot_map, shard),
+        coords=jax.device_put(table.coords, shard),
+        features=jax.device_put(table.features, shard),
+        weights=jax.device_put(table.weights, shard),
+        num_hits=jax.device_put(table.num_hits, shard),
+        # n_alloc becomes per-shard: stored as a [D] vector
+        n_alloc=jax.device_put(jnp.zeros((d,), jnp.int32), shard),
+        overflow=jax.device_put(jnp.zeros((d,), jnp.int32), shard),
+    )
+
+
+def _table_specs(axis: str):
+    return tbd.DenseIndexedTable(
+        slot_map=P(axis), coords=P(axis), features=P(axis), weights=P(axis),
+        num_hits=P(axis), n_alloc=P(axis), overflow=P(axis), n_xyz=P())
+
+
+def make_spatial_fuse_frame(mesh: Mesh, params: Dict[str, Any],
+                            voxel_size: float, min_pts_in_grid: int,
+                            max_unique: int = 1 << 17, axis: str = "sp"):
+    """Jitted fuse step over a spatially sharded table.
+
+    Signature: step(table, pts_w [N,3], normals [N,3], valid [N], bound_min,
+    bound_max) -> (table, stats).  N must divide the mesh size.
+    """
+    d = mesh.shape[axis]
+
+    def local_fn(table, pts_w, normals, valid, bound_min, bound_max):
+        # table leaves arrive as THIS device's shard; rebuild a local view
+        n_xyz = table.n_xyz
+        nv_shard = table.slot_map.shape[0]
+        me = jax.lax.axis_index(axis)
+        lo = me * nv_shard
+
+        corners, feats, valid8 = fusion.encode_corner_features(
+            params, pts_w, normals, valid, bound_min, bound_max, voxel_size)
+        n = pts_w.shape[0]
+        keys = corners.reshape(n * 8, 3)
+        ok = valid8.reshape(n * 8)
+        inside = jnp.all((keys >= 0) & (keys < n_xyz), axis=-1) & ok
+        flat = (keys[:, 0] * (n_xyz[1] * n_xyz[2]) + keys[:, 1] * n_xyz[2] +
+                keys[:, 2])
+        f8 = feats.reshape(n * 8, -1)
+
+        # assemble the full frame's entries on every device (compute was DP)
+        flat_all = jax.lax.all_gather(jnp.where(inside, flat, -1), axis,
+                                      tiled=True)
+        f8_all = jax.lax.all_gather(f8, axis, tiled=True)
+
+        # ownership filter -> shard-local flat ids; non-owned = sentinel
+        local_flat = flat_all - lo
+        owned = (local_flat >= 0) & (local_flat < nv_shard) & (flat_all >= 0)
+        m = flat_all.shape[0]
+        local_flat = jnp.where(owned, local_flat, nv_shard)
+
+        # sort-reduce on the local slab (same algorithm as fuse_frame_sorted)
+        fdim = f8_all.shape[-1]
+        ops = jax.lax.sort((local_flat.astype(jnp.int32),) +
+                           tuple(f8_all[:, j] for j in range(fdim)),
+                           num_keys=1)
+        flat_s = ops[0]
+        feats_s = jnp.stack(ops[1:], axis=-1)
+        prev = jnp.concatenate([jnp.full((1,), -1, flat_s.dtype),
+                                flat_s[:-1]])
+        boundary = flat_s != prev
+        entry_valid = flat_s < nv_shard
+        ch_mean = jnp.mean(feats_s, axis=0, keepdims=True)
+        cum = jnp.cumsum(feats_s - ch_mean, axis=0)
+        nxt = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
+        is_end = nxt & entry_valid
+        n_unique = jnp.sum(is_end).astype(jnp.int32)
+        end_pos = jnp.nonzero(is_end, size=max_unique, fill_value=m - 1)[0]
+        umask = jnp.arange(max_unique) < jnp.minimum(n_unique, max_unique)
+        prev_end = jnp.concatenate([jnp.full((1,), -1, end_pos.dtype),
+                                    end_pos[:-1]])
+        flat_u = flat_s[end_pos]
+        cnt_u = (end_pos - prev_end).astype(jnp.float32)
+        cum_lo = jnp.where((prev_end >= 0)[:, None],
+                           cum[jnp.maximum(prev_end, 0)], 0.0)
+        sum_u = cum[end_pos] - cum_lo + ch_mean * cnt_u[:, None]
+
+        # shard-local allocation (slot_map shard holds local slot ids)
+        cap_shard = table.features.shape[0]
+        flat_safe = jnp.minimum(flat_u, nv_shard - 1)
+        existing = jnp.where(umask, table.slot_map[flat_safe], -1)
+        is_new = umask & (existing < 0)
+        rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        n_alloc = table.n_alloc[0]
+        assign = n_alloc + rank
+        fits = is_new & (assign < cap_shard)
+        slot_map = table.slot_map.at[
+            jnp.where(fits, flat_u, nv_shard)].set(
+            jnp.where(fits, assign, 0), mode="drop", unique_indices=True)
+        coords_u = voxel.unflatten_ids(flat_u + lo, n_xyz).astype(jnp.int32)
+        coords = table.coords.at[jnp.where(fits, assign, cap_shard)].set(
+            coords_u, mode="drop", unique_indices=True)
+        slots = jnp.where(fits, assign, existing)
+        ok_u = slots >= 0
+        slots = jnp.maximum(slots, 0)
+
+        mean_u = sum_u / jnp.maximum(cnt_u, 1.0)[:, None]
+        new_w = jnp.minimum(cnt_u / 32.0, 1.0)
+        keep = umask & ok_u & (cnt_u >= min_pts_in_grid)
+        old_w = jnp.where(keep, table.weights[slots], 0.0)
+        old_f = jnp.where(keep[:, None], table.features[slots], 0.0)
+        upd_w = old_w + new_w
+        upd_f = (old_f * old_w[:, None] + mean_u * new_w[:, None]) / \
+            jnp.maximum(upd_w, 1e-12)[:, None]
+        widx = jnp.where(keep, slots, cap_shard)
+        features = table.features.at[widx].set(upd_f, mode="drop",
+                                               unique_indices=True)
+        weights = table.weights.at[widx].set(upd_w, mode="drop",
+                                             unique_indices=True)
+        n_new = jnp.sum(fits).astype(jnp.int32)
+        table = table.replace(
+            slot_map=slot_map, coords=coords, features=features,
+            weights=weights,
+            n_alloc=(table.n_alloc + n_new)[:1],
+            overflow=(table.overflow +
+                      jnp.sum(is_new & ~fits).astype(jnp.int32) +
+                      jnp.maximum(n_unique - max_unique, 0))[:1])
+
+        total_unique = jax.lax.psum(n_unique, axis)
+        total_cnt = jax.lax.psum(jnp.sum(jnp.where(umask, cnt_u, 0.0)), axis)
+        stats = fusion.FrameStats(
+            n_avg_pts=total_cnt / jnp.maximum(
+                total_unique.astype(jnp.float32), 1.0),
+            n_touched=total_unique.astype(jnp.float32),
+            n_valid_pts=jax.lax.psum(jnp.sum(valid.astype(jnp.float32)),
+                                     axis))
+        return table, stats
+
+    specs = _table_specs(axis)
+    stats_spec = fusion.FrameStats(n_avg_pts=P(), n_touched=P(),
+                                   n_valid_pts=P())
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(specs, P(axis), P(axis), P(axis), P(), P()),
+                   out_specs=(specs, stats_spec), check_vma=False)
+    return jax.jit(fn)
+
+
+def make_spatial_decode(mesh: Mesh, params: Dict[str, Any],
+                        voxel_size: float, min_pts_in_grid: int,
+                        axis: str = "sp"):
+    """Jitted SDF decode over the spatially sharded table.
+
+    Signature: decode(table, coords [M,3] voxel coords) -> sdf [M].  Each
+    device contributes the corners it owns; a psum assembles cells that
+    straddle slab boundaries.
+    """
+    def local_fn(table, coords):
+        n_xyz = table.n_xyz
+        nv_shard = table.slot_map.shape[0]
+        me = jax.lax.axis_index(axis)
+        lo = me * nv_shard
+
+        corners = voxel.corner_neighbors(coords)
+        tw = voxel.trilinear_weights(coords, corners)
+        local = voxel.local_offsets(coords, corners)
+        m = coords.shape[0]
+        k = corners.reshape(m * 8, 3)
+        inside = jnp.all((k >= 0) & (k < n_xyz), axis=-1)
+        flat = (k[:, 0] * (n_xyz[1] * n_xyz[2]) + k[:, 1] * n_xyz[2] +
+                k[:, 2]) - lo
+        owned = inside & (flat >= 0) & (flat < nv_shard)
+        slots = jnp.where(owned, table.slot_map[jnp.clip(flat, 0,
+                                                         nv_shard - 1)], -1)
+        found = slots >= 0
+        slots = jnp.maximum(slots, 0)
+        feats = jnp.where(found[:, None], table.features[slots], 0.0)
+        w = jnp.where(found, table.weights[slots], 0.0)
+        # assemble full neighborhoods across slabs
+        feats = jax.lax.psum(feats, axis).reshape(m, 8, -1)
+        w = jax.lax.psum(w, axis).reshape(m, 8)
+
+        alpha = bnn.decoder_apply(params, local, feats)[..., 0] * voxel_size
+        sdf = jnp.sum(alpha * tw, axis=-1)
+        mask = jnp.min(w, axis=-1) >= min_pts_in_grid
+        return jnp.where(mask, sdf, voxel_size)
+
+    specs = _table_specs(axis)
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(specs, P()),
+                   out_specs=P(), check_vma=False)
+    return jax.jit(fn)
