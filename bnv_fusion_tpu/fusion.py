@@ -195,7 +195,11 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
     is_end = nxt & entry_valid
     n_unique = jnp.sum(is_end).astype(jnp.int32)
 
-    end_pos = jnp.nonzero(is_end, size=max_unique, fill_value=m - 1)[0]
+    # compaction via sort (jnp.nonzero costs ~3x a plain sort here): segment
+    # end positions ascend, padding (m) sorts last
+    idx_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    end_pos = jax.lax.sort(jnp.where(is_end, idx_m, m))[:max_unique]
+    end_pos = jnp.minimum(end_pos, m - 1)
     umask = jnp.arange(max_unique) < jnp.minimum(n_unique, max_unique)
 
     # valid entries sort before the sentinel, so segments tile [0, ...) and
