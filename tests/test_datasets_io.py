@@ -1,0 +1,173 @@
+"""Dataset reader/writer round-trips on synthetic fixture layouts."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from bnv_fusion_tpu.config import config_from_dict, load_config
+from bnv_fusion_tpu.datasets import get_dataset
+from bnv_fusion_tpu.datasets.synth_scene import SyntheticDemoDataset
+from bnv_fusion_tpu.scripts.generate_fusion_data import write_canonical
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    cfg = load_config(["dataset.num_images=4", "dataset.img_res=[60,80]"])
+    return SyntheticDemoDataset(cfg, "val")
+
+
+def test_canonical_write_read_roundtrip(synth, tmp_path):
+    """Preprocessor output -> FusionInferenceDataset reads identical frames."""
+    out = str(tmp_path / "fusion" / "scene")
+
+    def frames():
+        for i in range(len(synth)):
+            f = synth[i]
+            yield (None, (f["depth"] * 1000).astype(np.uint16), f["T_wc"],
+                   f["intr_mat"])
+
+    write_canonical(out, frames(), synth.dimensions)
+    cfg = load_config([
+        "dataset=fusion_inference_dataset",
+        f"data_dir={tmp_path}/fusion",
+        "dataset.scan_id=scene",
+        "dataset.downsample_scale=0.",
+    ])
+    ds = get_dataset(cfg, "val")
+    assert len(ds) == len(synth)
+    np.testing.assert_allclose(ds.dimensions, synth.dimensions, rtol=1e-6)
+    f0, s0 = ds[0], synth[0]
+    np.testing.assert_allclose(f0["T_wc"], s0["T_wc"], atol=1e-6)
+    np.testing.assert_allclose(f0["intr_mat"], s0["intr_mat"], atol=1e-5)
+    # depth quantized to mm by the canonical format
+    np.testing.assert_allclose(f0["depth"], s0["depth"], atol=1.5e-3)
+
+
+def test_scannet_reader_fixture(tmp_path, synth):
+    """ScanNet frames/ layout assembled from synthetic frames."""
+    scan = "scene0000_00"
+    root = tmp_path / scan
+    frame_dir = root / "frames"
+    for sub in ("color", "depth", "pose"):
+        (frame_dir / sub).mkdir(parents=True)
+    (frame_dir / "intrinsic").mkdir()
+    meta = root / f"{scan}.txt"
+    meta.write_text("axisAlignment = " +
+                    " ".join(str(v) for v in np.eye(4).ravel()) + "\n")
+
+    from bnv_fusion_tpu.mesh import Mesh, save_ply
+
+    gt_verts = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 1]],
+                        np.float32)
+    save_ply(str(root / f"{scan}_vh_clean_2.ply"),
+             Mesh(gt_verts, np.array([[0, 1, 2]], np.int32)))
+
+    f = synth[0]
+    np.savetxt(str(frame_dir / "intrinsic" / "intrinsic_depth.txt"),
+               np.pad(f["intr_mat"], ((0, 1), (0, 1))) + np.diag([0, 0, 0, 1]))
+    for i in range(2):
+        cv2.imwrite(str(frame_dir / "depth" / f"{i}.png"),
+                    (synth[i]["depth"] * 1000).astype(np.uint16))
+        cv2.imwrite(str(frame_dir / "color" / f"{i}.jpg"),
+                    np.zeros((60, 80, 3), np.uint8))
+        T_cw = np.linalg.inv(synth[i]["T_wc"])
+        np.savetxt(str(frame_dir / "pose" / f"{i}.txt"), T_cw)
+
+    cfg = load_config([
+        "dataset=fusion_inference_dataset_scannet",
+        f"data_dir={tmp_path}",
+        f"dataset.scan_id={scan}",
+        "dataset.skip_images=1",
+        "dataset.downsample_scale=0.",
+    ])
+    ds = get_dataset(cfg, "val")
+    assert len(ds) == 2
+    item = ds[0]
+    # recentred by GT AABB midpoint: T_wc = recenter @ original
+    center = (gt_verts.min(0) + gt_verts.max(0)) / 2
+    expected = synth[0]["T_wc"].copy()
+    expected[:3, 3] -= center
+    np.testing.assert_allclose(item["T_wc"], expected, atol=1e-4)
+    assert item["depth"].shape == (60, 80)
+
+
+def test_arkit_reader_fixture(tmp_path, synth):
+    seq = tmp_path / "myscan"
+    seq.mkdir()
+    # rough export mesh for bounds
+    with open(seq / "export.obj", "w") as f:
+        for v in [(-1, -1, 0), (1, 1, 1)]:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+    s0 = synth[0]
+    T_align = np.diag([1.0, -1.0, -1.0, 1.0])
+    # store pose such that reader reconstructs recentred T_wc
+    T_ar = s0["T_wc"] @ np.linalg.inv(T_align)
+    for i in range(2):
+        cv2.imwrite(str(seq / f"depth_{i}.png"),
+                    (synth[i]["depth"] * 1000).astype(np.uint16))
+        conf = np.full(synth[i]["depth"].shape, 2, np.uint8)
+        conf[:10] = 0  # low-confidence stripe
+        cv2.imwrite(str(seq / f"conf_{i}.png"), conf)
+        hi_intr = s0["intr_mat"].copy()
+        hi_intr[:2, :3] *= 7.5  # hi-res RGB intrinsics (reader scales back)
+        with open(seq / f"frame_{i}.json", "w") as f:
+            json.dump({
+                "cameraPoseARFrame": list(map(float, T_ar.ravel())),
+                "intrinsics": list(map(float, hi_intr.ravel())),
+            }, f)
+
+    cfg = load_config([
+        "dataset=fusion_inference_dataset_arkit",
+        f"data_dir={tmp_path}",
+        "dataset.scan_id=myscan",
+        "dataset.skip_images=1",
+        "dataset.confidence_level=2",
+        "dataset.downsample_scale=0.",
+    ])
+    ds = get_dataset(cfg, "val")
+    assert len(ds) == 2
+    item = ds[0]
+    expected = s0["T_wc"].copy()
+    expected[:3, 3] -= np.array([0, 0, 0.5])  # export.obj AABB center
+    np.testing.assert_allclose(item["T_wc"], expected, atol=1e-4)
+    # confidence mask zeroes the low-confidence stripe
+    assert (item["depth"][:10] == 0).all()
+    np.testing.assert_allclose(item["intr_mat"], s0["intr_mat"], rtol=1e-5)
+
+
+def test_synthetic_idr_reader_fixture(tmp_path, synth):
+    root = tmp_path / "idr_scan"
+    (root / "image").mkdir(parents=True)
+    (root / "depth").mkdir()
+    cams = {}
+    for i in range(2):
+        s = synth[i]
+        cv2.imwrite(str(root / "image" / "{:03d}.png".format(i)),
+                    np.zeros((60, 80, 3), np.uint8))
+        cv2.imwrite(str(root / "depth" / "{:03d}.png".format(i)),
+                    (s["depth"] * 1000).astype(np.uint16))
+        K = np.eye(4)
+        K[:3, :3] = s["intr_mat"]
+        T_cw = np.linalg.inv(s["T_wc"])
+        cams[f"world_mat_{i}"] = (K @ T_cw)
+        cams[f"scale_mat_{i}"] = np.eye(4)
+    cams["scale_factor_0"] = np.float64(1.3)
+    np.savez(str(root / "cameras_sphere.npz"), **cams)
+
+    cfg = load_config([
+        "dataset=fusion_inference_dataset_synthetic",
+        f"data_dir={tmp_path}",
+        "dataset.scan_id=idr_scan",
+        "dataset.skip_images=1",
+        "dataset.downsample_scale=0.",
+    ])
+    ds = get_dataset(cfg, "val")
+    assert len(ds) == 2
+    item = ds[0]
+    np.testing.assert_allclose(ds.dimensions, [2.6, 2.6, 2.6], rtol=1e-6)
+    np.testing.assert_allclose(item["intr_mat"], synth[0]["intr_mat"],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(item["T_wc"], synth[0]["T_wc"], atol=1e-4)
