@@ -197,10 +197,11 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
 
     # compaction via sort (jnp.nonzero costs ~3x a plain sort here): segment
     # end positions ascend, padding (m) sorts last
+    u = min(max_unique, m)
     idx_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
-    end_pos = jax.lax.sort(jnp.where(is_end, idx_m, m))[:max_unique]
+    end_pos = jax.lax.sort(jnp.where(is_end, idx_m, m))[:u]
     end_pos = jnp.minimum(end_pos, m - 1)
-    umask = jnp.arange(max_unique) < jnp.minimum(n_unique, max_unique)
+    umask = jnp.arange(u) < jnp.minimum(n_unique, u)
 
     # valid entries sort before the sentinel, so segments tile [0, ...) and
     # segment k spans (end_{k-1}, end_k] — no second compaction needed
@@ -214,7 +215,7 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
     coords_u = voxel.unflatten_ids(flat_u, n_xyz).astype(jnp.int32)
 
     table, slots, ok = _dense.insert_unique(table, coords_u, umask)
-    dropped = jnp.maximum(n_unique - max_unique, 0)
+    dropped = jnp.maximum(n_unique - u, 0)
 
     # per-touched-slot running mean (reference _integrate semantics)
     mean_u = sum_u / jnp.maximum(cnt_u, 1.0)[:, None]
