@@ -172,6 +172,47 @@ class FusionPointNetTrainer:
             self.params, jnp.asarray(batch["input_pts"]),
             jnp.asarray(batch["training_pts"]), jnp.asarray(batch["gt"])))
 
+    def export_validation_meshes(self, val_ds, out_dir: str, epoch: int,
+                                 n_patches: int = 4, grid: int = 24):
+        """Mesh a few validation patches from their global latents — the
+        reference's per-epoch visual check (meshing_local_patch /
+        validation_step exports, local_point_fusion.py:492-552)."""
+        import os
+
+        from bnv_fusion_tpu import dense_grid
+        from bnv_fusion_tpu.mesh import Mesh, marching_tetrahedra, save_ply
+        from bnv_fusion_tpu.utils.vis import (colorize_normals,
+                                              save_pointcloud_ply)
+
+        os.makedirs(out_dir, exist_ok=True)
+        lin = np.linspace(-1, 1, grid + 1, dtype=np.float32)
+        gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
+        q = np.stack([gx, gy, gz], -1).reshape(1, -1, 3)
+        corner_off = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                               for z in (0, 1)])
+        cells = np.stack(np.meshgrid(*[np.arange(grid)] * 3, indexing="ij"),
+                         -1).reshape(-1, 3)
+        for i in range(min(n_patches, len(val_ds))):
+            item = val_ds[i]
+            pts = jnp.asarray(item["input_pts"][None])
+            feats = bnn.encoder_global_apply(self.params, pts)
+            sdf = np.asarray(dense_grid.global_feature_decode(
+                self.params, feats, jnp.asarray(q)))[0]
+            vol = sdf.reshape(grid + 1, grid + 1, grid + 1)
+            cs = np.stack([vol[cells[:, 0] + o[0], cells[:, 1] + o[1],
+                               cells[:, 2] + o[2]] for o in corner_off], -1)
+            keep = (cs.min(1) < 0) & (cs.max(1) > 0)
+            out = marching_tetrahedra(cells[keep], cs[keep])
+            if len(out.vertices):
+                verts = out.vertices / grid * 2 - 1
+                save_ply(os.path.join(out_dir, f"patch{i}_{epoch}.ply"),
+                         Mesh(verts.astype(np.float32), out.faces))
+            # GT oriented points, normal-colored (the reference's *_gt.ply)
+            ip = np.asarray(item["input_pts"])
+            save_pointcloud_ply(
+                os.path.join(out_dir, f"patch{i}_{epoch}_gt.ply"),
+                ip[:, :3], colorize_normals(ip[:, 3:6]))
+
     def fit(self, train_ds, val_ds, max_epochs: int, batch_size: int,
             ckpt_dir: str, log_every: int = 50):
         import os
@@ -196,6 +237,9 @@ class FusionPointNetTrainer:
             val = np.mean([self.eval_step(b) for b in
                            iterate_batches(val_ds, batch_size)])
             log.info(f"epoch {epoch} val_loss {val:.4f}")
+            if bool(getattr(self.cfg.trainer, "export_val_meshes", False)):
+                self.export_validation_meshes(
+                    val_ds, os.path.join(ckpt_dir, "plots"), epoch)
             save_state(os.path.join(ckpt_dir, "last.npz"),
                        {"params": self.params})
             if val < best:
