@@ -1,0 +1,127 @@
+"""Incremental mesh maintenance for demo-mode periodic extraction.
+
+Rebuilds VolumeList's per-voxel incremental mesh cache (reference
+src/models/sparse_volume.py:895-1158: meshlize_coords / merge_meshes /
+mesh_indices): demo mode re-extracts the mesh every optim_interval frames
+(reference run_e2e.py:270-280), and re-decoding the whole map each time is
+wasteful when only recently-touched voxels changed.
+
+The cache keys triangles by their half-lattice cell.  On update:
+1. diff the table's weights/features snapshots -> changed slots -> changed
+   voxel coords (host-side diff of flat arrays, cheap),
+2. re-decode only the sample lattice of changed voxels (+ their 1-voxel
+   neighborhood, since a voxel's latent feeds decodes up to one cell away),
+3. replace those cells' triangles in the cache (including deletions where
+   the surface moved out of a cell).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from bnv_fusion_tpu.mesh import (Mesh, build_sample_lattice, marching_tetrahedra,
+                                 merge_vertices)
+
+_NEIGHBOR_OFFSETS = np.stack(
+    np.meshgrid(*[[-1, 0, 1]] * 3, indexing="ij"), -1).reshape(-1, 3)
+
+
+class IncrementalMesher:
+    def __init__(self, min_coords, voxel_size: float,
+                 merge_tol_factor: float = 0.25,
+                 batch_size: int = 1 << 18):
+        self.min_coords = np.asarray(min_coords)
+        self.voxel_size = float(voxel_size)
+        self.merge_tol_factor = merge_tol_factor
+        self.batch_size = batch_size
+        # cell key (half-lattice origin tuple) -> [k, 3, 3] triangle verts
+        self._cells: Dict[Tuple[int, int, int], np.ndarray] = {}
+        self._prev_weights: Optional[np.ndarray] = None
+        self._prev_feat_sum: Optional[np.ndarray] = None
+
+    def _changed_slots(self, weights: np.ndarray,
+                       feat_sum: np.ndarray) -> np.ndarray:
+        if self._prev_weights is None:
+            changed = np.ones(len(weights), bool)
+        else:
+            n = min(len(weights), len(self._prev_weights))
+            changed = np.zeros(len(weights), bool)
+            changed[:n] = (weights[:n] != self._prev_weights[:n]) | \
+                          (feat_sum[:n] != self._prev_feat_sum[:n])
+            changed[n:] = True
+        self._prev_weights = weights.copy()
+        self._prev_feat_sum = feat_sum.copy()
+        return changed
+
+    def update(self, decode_fn, active_coords: np.ndarray,
+               active_weights: np.ndarray, active_feat_sum: np.ndarray,
+               min_weight: float) -> Mesh:
+        """Refresh the cache and return the merged mesh.
+
+        ``active_*`` are the table's compacted entries in SLOT order (stable
+        across calls for the dense table); ``decode_fn`` as in
+        mesh.extract_mesh.  ``min_weight`` filters voxels that can mesh.
+        """
+        changed = self._changed_slots(active_weights, active_feat_sum)
+        eligible = active_weights >= min_weight
+        work = active_coords[changed & eligible]
+        if len(work) == 0 and self._cells:
+            return self._assemble()
+
+        # include the 1-voxel neighborhood: a changed latent affects decodes
+        # of any cell within one voxel
+        if len(work):
+            grown = (work[:, None, :] + _NEIGHBOR_OFFSETS[None]).reshape(-1, 3)
+            # only re-mesh blocks of voxels that are active+eligible
+            key_all = {tuple(c) for c in active_coords[eligible]}
+            grown = np.unique(grown, axis=0)
+            grown = np.array([c for c in grown if tuple(c) in key_all],
+                             np.int64)
+        else:
+            grown = work.astype(np.int64)
+        if len(grown) == 0:
+            return self._assemble()
+
+        points, corner_idx, cells = build_sample_lattice(grown.astype(np.int32))
+        coords = points.astype(np.float32) / 2.0
+        sdf = np.empty((len(points),), np.float32)
+        bs = self.batch_size
+        for s in range(0, len(points), bs):
+            e = min(s + bs, len(points))
+            batch = np.zeros((bs, 3), np.float32)
+            batch[: e - s] = coords[s:e]
+            sdf[s:e] = np.asarray(decode_fn(jnp.asarray(batch)))[: e - s]
+
+        cell_sdf = sdf[corner_idx]
+        crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
+        out, tri_cell = marching_tetrahedra(cells[crossing],
+                                            cell_sdf[crossing],
+                                            return_cell_ids=True)
+        # every recomputed cell gets replaced (or cleared) in the cache
+        for c in map(tuple, cells):
+            self._cells.pop(c, None)
+        if len(out.vertices):
+            tris = out.vertices[out.faces]            # [K, 3, 3]
+            crossing_cells = cells[crossing]
+            order = np.argsort(tri_cell, kind="stable")
+            tri_cell_s = tri_cell[order]
+            tris_s = tris[order]
+            bounds = np.searchsorted(tri_cell_s,
+                                     np.arange(len(crossing_cells) + 1))
+            for ci in np.unique(tri_cell_s):
+                lo, hi = bounds[ci], bounds[ci + 1]
+                self._cells[tuple(crossing_cells[ci])] = tris_s[lo:hi]
+        return self._assemble()
+
+    def _assemble(self) -> Mesh:
+        if not self._cells:
+            return Mesh(np.zeros((0, 3), np.float32),
+                        np.zeros((0, 3), np.int32))
+        tris = np.concatenate(list(self._cells.values()), axis=0)
+        verts = tris.reshape(-1, 3) / 2.0 * self.voxel_size + self.min_coords
+        faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
+        return merge_vertices(Mesh(verts.astype(np.float32), faces),
+                              self.voxel_size * self.merge_tol_factor)

@@ -97,16 +97,19 @@ _TET_TABLE = _build_tet_table()
 
 
 def marching_tetrahedra(cell_origins: np.ndarray, cell_sdf: np.ndarray,
-                        level: float = 0.0) -> Mesh:
+                        level: float = 0.0,
+                        return_cell_ids: bool = False):
     """Extract the iso-surface from sparse unit cells (vectorized numpy).
 
     cell_origins: [M, 3] integer lattice origins; cell_sdf: [M, 8] SDF at the
     cube corners in (4*dx + 2*dy + dz) order.  Returns vertices in lattice
-    units.
+    units.  With ``return_cell_ids``, also returns the source cell index of
+    every face (for incremental mesh caching).
     """
     m = len(cell_origins)
     if m == 0:
-        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+        empty = Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+        return (empty, np.zeros((0,), np.int64)) if return_cell_ids else empty
     corners = (cell_origins[:, None, :].astype(np.float32) +
                _CUBE_CORNERS[None, :, :])                      # [M, 8, 3]
     s = cell_sdf - level
@@ -116,13 +119,17 @@ def marching_tetrahedra(cell_origins: np.ndarray, cell_sdf: np.ndarray,
     tet_v = tet_v.reshape(-1, 4, 3)
     tet_s = tet_s.reshape(-1, 4)
 
+    tet_cell = np.repeat(np.arange(m, dtype=np.int64), 6)
+
     inside = tet_s < 0
     mask = (inside * np.array([1, 2, 4, 8])).sum(-1)            # [T]
     active = (mask > 0) & (mask < 15)
     tet_v, tet_s, mask = tet_v[active], tet_s[active], mask[active]
+    tet_cell = tet_cell[active]
     t = len(tet_s)
     if t == 0:
-        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+        empty = Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+        return (empty, np.zeros((0,), np.int64)) if return_cell_ids else empty
 
     # intersection points on all 6 tet edges
     sa = tet_s[:, _TET_EDGES[:, 0]]
@@ -141,10 +148,12 @@ def marching_tetrahedra(cell_origins: np.ndarray, cell_sdf: np.ndarray,
         edge_pts[:, None, :, :].repeat(2, axis=1),
         tri_edges[..., None].repeat(3, axis=-1), axis=2)        # [T, 2, 3, 3]
     tri_pts = tri_pts[valid]                                    # [K, 3, 3]
+    tri_cell = np.repeat(tet_cell[:, None], 2, axis=1)[valid]   # [K]
 
     vertices = tri_pts.reshape(-1, 3).astype(np.float32)
     faces = np.arange(len(vertices), dtype=np.int32).reshape(-1, 3)
-    return Mesh(vertices, faces)
+    mesh_out = Mesh(vertices, faces)
+    return (mesh_out, tri_cell) if return_cell_ids else mesh_out
 
 
 def laplacian_smooth(mesh: Mesh, iterations: int = 1,

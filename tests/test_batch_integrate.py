@@ -1,0 +1,40 @@
+"""Batched (scan) frame integration matches sequential per-frame integrate."""
+
+import numpy as np
+
+from bnv_fusion_tpu.checkpoint import load_pretrained
+from bnv_fusion_tpu.config import load_config
+from bnv_fusion_tpu.pipeline import NeuralMap
+from bnv_fusion_tpu import tables as tbl
+
+
+def test_integrate_batch_matches_sequential(pretrained_tcnn_path):
+    cfg = load_config([
+        "model.voxel_size=0.06", "model.min_pts_in_grid=3",
+        "dataset.num_images=6", "dataset.img_res=[60,80]",
+        "model.table_capacity=65536",
+    ])
+    from bnv_fusion_tpu.datasets import get_dataset
+
+    params = load_pretrained(pretrained_tcnn_path)
+    ds = get_dataset(cfg, "val")
+    frames = [ds[i] for i in range(6)]
+
+    nm_seq = NeuralMap(ds.dimensions, cfg, params)
+    for f in frames:
+        nm_seq.integrate(f)
+
+    nm_bat = NeuralMap(ds.dimensions, cfg, params)
+    nm_bat.integrate_batch(frames[:3])
+    nm_bat.integrate_batch(frames[3:])
+
+    k1, f1, w1, _, _ = tbl.active_entries(nm_seq.table)
+    k2, f2, w2, _, _ = tbl.active_entries(nm_bat.table)
+    o1, o2 = np.lexsort(k1.T), np.lexsort(k2.T)
+    np.testing.assert_array_equal(k1[o1], k2[o2])
+    np.testing.assert_allclose(w1[o1], w2[o2], atol=1e-5)
+    np.testing.assert_allclose(f1[o1], f2[o2], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(nm_seq.tsdf_vol.sdf),
+                               np.asarray(nm_bat.tsdf_vol.sdf), atol=1e-5)
+    assert len(nm_bat.frames) == 6
+    assert len(nm_bat.stats) == 6

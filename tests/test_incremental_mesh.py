@@ -1,0 +1,89 @@
+"""Incremental mesher: cached extraction equals full re-extraction."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bnv_fusion_tpu import mesh as m
+from bnv_fusion_tpu.incremental_mesh import IncrementalMesher
+
+
+def _setup(radius):
+    vs = 0.05
+    min_coords = np.array([-1.0, -1.0, -1.0], np.float32)
+    rng = np.arange(0, 40)
+    g = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"), -1).reshape(-1, 3)
+    world = g * vs + min_coords
+    d = np.abs(np.linalg.norm(world, axis=-1) - radius)
+    active = g[d < 2 * vs].astype(np.int32)
+
+    def decode_fn(coords):
+        w = np.asarray(coords) * vs + min_coords
+        return jnp.asarray(np.linalg.norm(w, axis=-1) - radius)
+
+    return vs, min_coords, active, decode_fn
+
+
+def _sorted_verts(mesh):
+    v = np.round(mesh.vertices / 1e-5).astype(np.int64)
+    return v[np.lexsort(v.T)]
+
+
+def test_first_update_matches_full_extraction():
+    vs, mn, active, decode_fn = _setup(0.5)
+    weights = np.full(len(active), 8.0, np.float32)
+    fsum = np.zeros((len(active),), np.float32)
+    inc = IncrementalMesher(mn, vs)
+    got = inc.update(decode_fn, active, weights, fsum, min_weight=1.0)
+    full = m.extract_mesh(decode_fn, active, mn, vs, batch_size=1 << 14,
+                          use_native=False)
+    # same surface: equal vertex sets after welding
+    np.testing.assert_array_equal(_sorted_verts(got), _sorted_verts(full))
+
+
+def test_incremental_update_tracks_surface_change():
+    vs, mn, active, decode_a = _setup(0.5)
+    weights = np.full(len(active), 8.0, np.float32)
+    fsum = np.zeros((len(active),), np.float32)
+    inc = IncrementalMesher(mn, vs)
+    inc.update(decode_a, active, weights, fsum, min_weight=1.0)
+
+    # surface moves slightly; only half the voxels report changes
+    _, _, active_b, decode_b = _setup(0.52)
+    # keep slot order stable: same active set (its shell covers r=0.52 too)
+    changed = active[:, 0] >= 20  # "half the scene was refit"
+    fsum2 = fsum.copy()
+    fsum2[changed] += 1.0
+    got = inc.update(decode_b, active, weights, fsum2, min_weight=1.0)
+
+    # ground truth: full extraction with a decoder mixing the two radii
+    def decode_mixed(coords):
+        w = np.asarray(coords) * vs + mn
+        r = np.where(w[:, 0] >= (20 * vs + mn[0]) - 2 * vs, 0.52, 0.5)
+        return jnp.asarray(np.linalg.norm(w, axis=-1) - r)
+
+    # sanity: updated region uses the new surface
+    verts = got.vertices
+    right = verts[verts[:, 0] > 0.15]
+    r_right = np.linalg.norm(right, axis=-1)
+    assert abs(r_right.mean() - 0.52) < 0.01
+    # untouched region keeps the old surface
+    left = verts[verts[:, 0] < -0.15]
+    r_left = np.linalg.norm(left, axis=-1)
+    assert abs(r_left.mean() - 0.5) < 0.01
+
+
+def test_no_change_returns_cached():
+    vs, mn, active, decode_fn = _setup(0.5)
+    weights = np.full(len(active), 8.0, np.float32)
+    fsum = np.zeros((len(active),), np.float32)
+    inc = IncrementalMesher(mn, vs)
+    m1 = inc.update(decode_fn, active, weights, fsum, min_weight=1.0)
+    calls = []
+
+    def counting_decode(coords):
+        calls.append(1)
+        return decode_fn(coords)
+
+    m2 = inc.update(counting_decode, active, weights, fsum, min_weight=1.0)
+    assert not calls  # nothing changed -> no decode at all
+    np.testing.assert_array_equal(_sorted_verts(m1), _sorted_verts(m2))
