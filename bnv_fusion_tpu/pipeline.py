@@ -278,6 +278,34 @@ class NeuralMap:
             np.asarray(self.bound_min), self.voxel_size,
             batch_size=batch_size)
 
+    def extract_mesh_incremental(self, use_delta: bool = True,
+                                 batch_size: int = 1 << 18):
+        """Demo-mode mesh preview: only re-decodes voxels whose latents
+        changed since the last call (the reference VolumeList mesh-cache
+        role).  Approximation: changes that arrive ONLY through the TSDF
+        prior are not re-meshed (bounded by sdf_delta_weight x truncation,
+        ~5 mm x 0.1); final exports should use extract_mesh().
+        """
+        from bnv_fusion_tpu.incremental_mesh import IncrementalMesher
+
+        if self._decode_jit is None:
+            self._decode_jit = self._build_decode(use_delta)
+        if getattr(self, "_inc_mesher", None) is None:
+            self._inc_mesher = IncrementalMesher(
+                np.asarray(self.bound_min), self.voxel_size,
+                batch_size=batch_size)
+        sdf_delta = tsdf.prepare_sdf_delta(
+            self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
+            self.sdf_delta_weight)
+        keys, feats, weights, hits, _ = tbl.active_entries(self.table)
+        decode_fn = partial(self._decode_jit, self.table.features, self.table,
+                            sdf_delta)
+        mesh = self._inc_mesher.update(
+            decode_fn, keys.astype(np.int32), weights,
+            feats.sum(axis=1).astype(np.float32),
+            min_weight=self.min_pts_in_grid)
+        return mesh if len(mesh.vertices) else None
+
     def save(self, path_prefix: str):
         keys, feats, weights, hits, _ = tbl.active_entries(self.table)
         ckpt_io.save_state(path_prefix + "_sparse_volume.npz", {

@@ -75,7 +75,8 @@ def main(argv=None):
             nmap.timer.start("global")
             nmap.optimize(n_iters=n_iters, last_frame=last)
             nmap.timer.log("global")
-            m = nmap.extract_mesh()
+            # incremental cache: only changed voxels are re-decoded
+            m = nmap.extract_mesh_incremental()
             if m is not None:
                 mesh_mod.save_ply(os.path.join(working_dir, f"{idx}.ply"), m)
 
