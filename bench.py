@@ -35,7 +35,7 @@ def main():
 
     cfg = load_config([
         "model.voxel_size=0.02",
-        "dataset.num_images=24",
+        "dataset.num_images=40",
         "dataset.img_res=[480,640]",
         "model.table_capacity=2097152",
     ])
@@ -55,7 +55,7 @@ def main():
     # batched integration (K frames per device launch, sequential-scan
     # semantics identical to per-frame integrate) amortizes the tunneled
     # runtime's per-dispatch overhead
-    k = 8
+    k = 4
     batches = [frames[i:i + k] for i in range(0, len(frames), k)]
 
     # warmup: compile + first batch
