@@ -105,6 +105,9 @@ class NeuralMap:
         max_unique = int(getattr(self.config.model,
                                  "max_unique_per_frame", 1 << 17))
         tsdf_vs = self.tsdf_voxel_size
+        fuse_dtype = jnp.bfloat16 if str(getattr(
+            self.config.model, "fuse_dtype", "float32")) == "bfloat16" \
+            else jnp.float32
 
         def body(table, tsdf_vol, params, depth, T_wc, intr,
                  bound_min, bound_max):
@@ -117,7 +120,8 @@ class NeuralMap:
                                                 normals_cam.reshape(-1, 3))
             table, stats = fusion.fuse_frame(
                 table, params, pts_w, normals_w, valid, bound_min, bound_max,
-                vs, min_pts, max_unique=max_unique)
+                vs, min_pts, compute_dtype=fuse_dtype,
+                max_unique=max_unique)
             tsdf_vol = tsdf.integrate(tsdf_vol, depth, intr, T_wc, tsdf_vs)
             return table, tsdf_vol, stats
 
