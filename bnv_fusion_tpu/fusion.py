@@ -218,9 +218,9 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
     cum_lo = jnp.where((prev_end >= 0)[:, None], cum[jnp.maximum(prev_end, 0)],
                        0.0)
     sum_u = cum[end_pos] - cum_lo + ch_mean * cnt_u[:, None]  # [U, F]
-    coords_u = voxel.unflatten_ids(flat_u, n_xyz).astype(jnp.int32)
 
-    table, slots, ok = _dense.insert_unique(table, coords_u, umask)
+    table, slots, ok = _dense.insert_unique_flat(
+        table, jnp.where(umask, flat_u, -1), umask)
     dropped = jnp.maximum(n_unique - u, 0)
 
     # per-touched-slot running mean (reference _integrate semantics)

@@ -37,6 +37,25 @@ from bnv_fusion_tpu import fusion, nn as bnn, voxel
 from bnv_fusion_tpu import table_dense as tbd
 
 
+def spatial_active_entries(table: tbd.DenseIndexedTable, n_shards: int):
+    """Host-side (coords, features, weights) extraction for a spatially
+    sharded table: slot ids are shard-local, so the global value row of a
+    voxel is shard_index * capacity_per_shard + local_slot."""
+    slot_map = np.asarray(table.slot_map)
+    features = np.asarray(table.features)
+    weights = np.asarray(table.weights)
+    nv_shard = slot_map.shape[0] // n_shards
+    cap_shard = features.shape[0] // n_shards
+    n_xyz = np.asarray(table.n_xyz, np.int64)
+    flat = np.nonzero(slot_map >= 0)[0]
+    shard = flat // nv_shard
+    rows = shard * cap_shard + slot_map[flat]
+    keys = np.stack([flat // (n_xyz[1] * n_xyz[2]),
+                     (flat // n_xyz[2]) % n_xyz[1],
+                     flat % n_xyz[2]], -1).astype(np.int32)
+    return keys, features[rows], weights[rows]
+
+
 def create_spatial_table(mesh: Mesh, n_xyz, capacity: int, feat_dims: int,
                          axis: str = "sp") -> tbd.DenseIndexedTable:
     """A DenseIndexedTable whose slot_map/value arrays are sharded over the
@@ -49,10 +68,8 @@ def create_spatial_table(mesh: Mesh, n_xyz, capacity: int, feat_dims: int,
         raise ValueError("n_vox and capacity must divide the mesh size")
     table = tbd.create_dense_table(n_xyz, capacity, feat_dims)
     shard = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
     return table.replace(
         slot_map=jax.device_put(table.slot_map, shard),
-        coords=jax.device_put(table.coords, shard),
         features=jax.device_put(table.features, shard),
         weights=jax.device_put(table.weights, shard),
         num_hits=jax.device_put(table.num_hits, shard),
@@ -64,7 +81,7 @@ def create_spatial_table(mesh: Mesh, n_xyz, capacity: int, feat_dims: int,
 
 def _table_specs(axis: str):
     return tbd.DenseIndexedTable(
-        slot_map=P(axis), coords=P(axis), features=P(axis), weights=P(axis),
+        slot_map=P(axis), features=P(axis), weights=P(axis),
         num_hits=P(axis), n_alloc=P(axis), overflow=P(axis), n_xyz=P())
 
 
@@ -144,9 +161,6 @@ def make_spatial_fuse_frame(mesh: Mesh, params: Dict[str, Any],
         slot_map = table.slot_map.at[
             jnp.where(fits, flat_u, nv_shard)].set(
             jnp.where(fits, assign, 0), mode="drop", unique_indices=True)
-        coords_u = voxel.unflatten_ids(flat_u + lo, n_xyz).astype(jnp.int32)
-        coords = table.coords.at[jnp.where(fits, assign, cap_shard)].set(
-            coords_u, mode="drop", unique_indices=True)
         slots = jnp.where(fits, assign, existing)
         ok_u = slots >= 0
         slots = jnp.maximum(slots, 0)
@@ -166,7 +180,7 @@ def make_spatial_fuse_frame(mesh: Mesh, params: Dict[str, Any],
                                              unique_indices=True)
         n_new = jnp.sum(fits).astype(jnp.int32)
         table = table.replace(
-            slot_map=slot_map, coords=coords, features=features,
+            slot_map=slot_map, features=features,
             weights=weights,
             n_alloc=(table.n_alloc + n_new)[:1],
             overflow=(table.overflow +

@@ -29,8 +29,10 @@ from flax import struct
 
 
 class DenseIndexedTable(struct.PyTreeNode):
+    # NOTE: per-slot coords are NOT stored — they are recoverable from the
+    # slot map (host-side inversion at export time), which removes a
+    # per-frame O(max_unique) scatter from the fuse hot path.
     slot_map: jnp.ndarray   # [n_voxels] int32, -1 = unallocated
-    coords: jnp.ndarray     # [capacity, 3] int32 coords per slot (-1 empty)
     features: jnp.ndarray   # [capacity, F] float32
     weights: jnp.ndarray    # [capacity] float32
     num_hits: jnp.ndarray   # [capacity] float32
@@ -57,7 +59,6 @@ def create_dense_table(n_xyz, capacity: int, feat_dims: int
             "int32 — use the open-addressing SparseVoxelTable instead")
     return DenseIndexedTable(
         slot_map=jnp.full((n_vox,), -1, jnp.int32),
-        coords=jnp.full((capacity, 3), -1, jnp.int32),
         features=jnp.zeros((capacity, feat_dims), jnp.float32),
         weights=jnp.zeros((capacity,), jnp.float32),
         num_hits=jnp.zeros((capacity,), jnp.float32),
@@ -120,9 +121,6 @@ def insert(table: DenseIndexedTable, new_keys: jnp.ndarray,
     map_idx = jnp.where(fits, flat, n_vox)
     slot_map = table.slot_map.at[map_idx].set(
         jnp.where(fits, assign, 0), mode="drop")
-    coord_idx = jnp.where(fits, assign, cap)
-    coords = table.coords.at[coord_idx].set(new_keys, mode="drop",
-                                            unique_indices=True)
 
     # final slots for every occurrence
     slots = jnp.where(inside, slot_map[flat_safe], -1)
@@ -130,7 +128,6 @@ def insert(table: DenseIndexedTable, new_keys: jnp.ndarray,
 
     table = table.replace(
         slot_map=slot_map,
-        coords=coords,
         n_alloc=jnp.minimum(table.n_alloc + n_new_total, cap),
         overflow=table.overflow + (n_new_total - n_new_fit),
     )
@@ -147,10 +144,18 @@ def insert_unique(table: DenseIndexedTable, keys: jnp.ndarray,
     reduction), leaving a handful of gathers + unique-index scatters.
     Returns (table, slots [U], ok [U]).
     """
+    flat, inside = _flat_ids(table, keys, valid)
+    return insert_unique_flat(table, flat, inside)
+
+
+def insert_unique_flat(table: DenseIndexedTable, flat: jnp.ndarray,
+                       valid: jnp.ndarray
+                       ) -> Tuple[DenseIndexedTable, jnp.ndarray, jnp.ndarray]:
+    """insert_unique on precomputed flat voxel ids (fuse hot path)."""
     cap = table.capacity
     n_vox = table.slot_map.shape[0]
-    flat, inside = _flat_ids(table, keys, valid)
-    flat_safe = jnp.maximum(flat, 0)
+    inside = valid & (flat >= 0) & (flat < n_vox)
+    flat_safe = jnp.clip(flat, 0, n_vox - 1)
 
     existing = jnp.where(inside, table.slot_map[flat_safe], -1)
     is_new = inside & (existing < 0)
@@ -160,17 +165,14 @@ def insert_unique(table: DenseIndexedTable, keys: jnp.ndarray,
     n_new_total = jnp.sum(is_new).astype(jnp.int32)
     n_new_fit = jnp.sum(fits).astype(jnp.int32)
 
-    map_idx = jnp.where(fits, flat, n_vox)
+    map_idx = jnp.where(fits, flat_safe, n_vox)
     slot_map = table.slot_map.at[map_idx].set(
         jnp.where(fits, assign, 0), mode="drop", unique_indices=True)
-    coord_idx = jnp.where(fits, assign, cap)
-    coords = table.coords.at[coord_idx].set(keys, mode="drop",
-                                            unique_indices=True)
 
     slots = jnp.where(fits, assign, existing)
     ok = slots >= 0
     table = table.replace(
-        slot_map=slot_map, coords=coords,
+        slot_map=slot_map,
         n_alloc=jnp.minimum(table.n_alloc + n_new_total, cap),
         overflow=table.overflow + (n_new_total - n_new_fit))
     return table, jnp.maximum(slots, 0), ok
@@ -189,10 +191,22 @@ def gather_values(table: DenseIndexedTable, slots: jnp.ndarray,
 
 
 def active_entries(table: DenseIndexedTable):
-    """Host-side extraction of allocated entries (coords, feats, w, hits, idx)."""
+    """Host-side extraction of allocated entries (coords, feats, w, hits, idx).
+
+    Coords are reconstructed by inverting the slot map (cheap host pass over
+    the dense map) and returned in SLOT order, so repeated calls line up.
+    """
     n = int(table.n_alloc)
-    keys = np.asarray(table.coords[:n])
-    return (keys, np.asarray(table.features[:n]),
+    slot_map = np.asarray(table.slot_map)
+    flat = np.nonzero(slot_map >= 0)[0]
+    slots = slot_map[flat]
+    order = np.argsort(slots)
+    flat = flat[order]
+    n_xyz = np.asarray(table.n_xyz, np.int64)
+    keys = np.stack([flat // (n_xyz[1] * n_xyz[2]),
+                     (flat // n_xyz[2]) % n_xyz[1],
+                     flat % n_xyz[2]], axis=-1).astype(np.int32)
+    return (keys[:n], np.asarray(table.features[:n]),
             np.asarray(table.weights[:n]), np.asarray(table.num_hits[:n]),
             np.arange(n))
 

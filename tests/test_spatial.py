@@ -9,7 +9,8 @@ from bnv_fusion_tpu import fusion, nn as bnn, table_dense as tbd, voxel
 from bnv_fusion_tpu.parallel.mesh import make_mesh
 from bnv_fusion_tpu.parallel.spatial import (create_spatial_table,
                                              make_spatial_decode,
-                                             make_spatial_fuse_frame)
+                                             make_spatial_fuse_frame,
+                                             spatial_active_entries)
 
 N_XYZ = [24, 24, 24]  # 13824 voxels, divisible by 8
 
@@ -50,12 +51,8 @@ def test_spatial_fuse_matches_single_device(rng, params, mesh):
                         jnp.asarray(bound_min), jnp.asarray(bound_max))
 
     # gather shard entries host-side and compare per-voxel values
-    coords_sh = np.asarray(table.coords)
-    feats_sh = np.asarray(table.features)
-    w_sh = np.asarray(table.weights)
-    alive = coords_sh[:, 0] >= 0
-    got = {tuple(c): (f, w) for c, f, w in
-           zip(coords_sh[alive], feats_sh[alive], w_sh[alive])}
+    coords_sh, feats_sh, w_sh = spatial_active_entries(table, 8)
+    got = {tuple(c): (f, w) for c, f, w in zip(coords_sh, feats_sh, w_sh)}
 
     kref, fref, wref, _, _ = tbd.active_entries(ref)
     assert len(got) == len(kref)

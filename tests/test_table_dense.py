@@ -68,8 +68,9 @@ def test_capacity_overflow_counted(rng):
     # inserted ones still resolve
     s2, found = tbd.lookup(t, jnp.asarray(coords[ok]))
     assert np.asarray(found).all()
-    # and their stored coords round-trip
-    got = np.asarray(t.coords)[np.asarray(s2)]
+    # and their coords round-trip through slot-map inversion
+    keys, _, _, _, _ = tbd.active_entries(t)
+    got = keys[np.asarray(s2)]
     np.testing.assert_array_equal(got, coords[ok])
 
 
