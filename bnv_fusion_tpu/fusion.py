@@ -275,7 +275,8 @@ def decode_points(features: jnp.ndarray, table: tbl.AnyTable,
                   n_xyz: jnp.ndarray | None = None,
                   is_coords: bool = False,
                   compute_dtype=jnp.float32,
-                  use_fused_kernel: bool = False) -> jnp.ndarray:
+                  use_fused_kernel: bool = False,
+                  masked_fill: float | None = None) -> jnp.ndarray:
     """SDF at world points (or voxel coords) via 8-corner decode + blend.
 
     Rebuilds SparseVolume.decode_pts (reference
@@ -317,8 +318,12 @@ def decode_points(features: jnp.ndarray, table: tbl.AnyTable,
         sdf = jnp.sum(alpha * tw, axis=-1)
 
     # all 8 corners must carry at least min_pts weight (sparse_volume.py:809)
+    # masked fallback +voxel_size matches the reference; meshing passes
+    # masked_fill=nan so unobserved cells can be dropped instead of
+    # hallucinating walls at the observed/unobserved boundary
     mask = jnp.min(w, axis=-1) >= min_pts_in_grid
-    sdf = jnp.where(mask, sdf, voxel_size)
+    fill = voxel_size if masked_fill is None else masked_fill
+    sdf = jnp.where(mask, sdf, fill)
 
     if sdf_delta is not None:
         delta = _sample_delta_nearest(sdf_delta, corners, n_xyz)   # [M,8]
@@ -343,6 +348,29 @@ def _sample_delta_nearest(sdf_delta: jnp.ndarray, corners: jnp.ndarray,
     idx = jnp.clip(idx, 0, jnp.asarray([dx - 1, dy - 1, dz - 1]))
     vals = sdf_delta[idx[..., 0], idx[..., 1], idx[..., 2]]
     return jnp.where(inside, vals, 0.0)
+
+
+def sdf_gradient(features: jnp.ndarray, table: tbl.AnyTable,
+                 params: Dict[str, Any], pts: jnp.ndarray,
+                 bound_min: jnp.ndarray, voxel_size: float,
+                 min_pts_in_grid: int, normalize: bool = True,
+                 **decode_kwargs) -> jnp.ndarray:
+    """SDF spatial gradients (surface normals) at world points via autodiff.
+
+    Rebuilds LitFusionPointNet.gradient (reference
+    src/models/fusion/local_point_fusion.py:247-263), which backprops through
+    the decode; here it is one jax.grad of decode_points w.r.t. the points.
+    Returns [M, 3] (unit normals when ``normalize``).
+    """
+    def sdf_sum(p):
+        return jnp.sum(decode_points(
+            features, table, params, p, bound_min, voxel_size,
+            min_pts_in_grid, **decode_kwargs))
+
+    g = jax.grad(sdf_sum)(pts)
+    if normalize:
+        g = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-5)
+    return g
 
 
 def bump_optim_weights(table: tbl.AnyTable,

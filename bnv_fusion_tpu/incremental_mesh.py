@@ -96,7 +96,12 @@ class IncrementalMesher:
             sdf[s:e] = np.asarray(decode_fn(jnp.asarray(batch)))[: e - s]
 
         cell_sdf = sdf[corner_idx]
-        crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
+        # same observed-crossing rule as mesh.extract_mesh(mask_sentinel=True)
+        observed = ~np.isnan(cell_sdf)
+        obs_min = np.where(observed, cell_sdf, np.inf).min(1)
+        obs_max = np.where(observed, cell_sdf, -np.inf).max(1)
+        crossing = (obs_min < 0) & (obs_max > 0)
+        cell_sdf = np.where(observed, cell_sdf, self.voxel_size)
         out, tri_cell = marching_tetrahedra(cells[crossing],
                                             cell_sdf[crossing],
                                             return_cell_ids=True)

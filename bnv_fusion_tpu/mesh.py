@@ -256,7 +256,8 @@ def build_sample_lattice(active_coords: np.ndarray):
 def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
                  voxel_size: float, batch_size: int = 262144,
                  merge_tol_factor: float = 0.25,
-                 use_native: bool = True) -> Optional[Mesh]:
+                 use_native: bool = True,
+                 mask_sentinel: bool = False) -> Optional[Mesh]:
     """Decode the SDF on the half lattice and run marching tetrahedra.
 
     ``decode_fn(coords_f32 [B, 3]) -> sdf [B]`` evaluates the sparse volume at
@@ -281,7 +282,19 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
         sdf[s:e] = out[: e - s]
 
     cell_sdf = sdf[corner_idx]                                  # [M, 8]
-    crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
+    if mask_sentinel:
+        # NaN-marked samples are "no data": they keep the reference's
+        # +voxel_size fallback for interpolation, but a cell only meshes if
+        # the OBSERVED corners alone cross the level set — otherwise the
+        # fallback would hallucinate walls at the observed/unobserved
+        # boundary (phantom crossings against negative interiors).
+        observed = ~np.isnan(cell_sdf)
+        obs_min = np.where(observed, cell_sdf, np.inf).min(1)
+        obs_max = np.where(observed, cell_sdf, -np.inf).max(1)
+        crossing = (obs_min < 0) & (obs_max > 0)
+        cell_sdf = np.where(observed, cell_sdf, voxel_size)
+    else:
+        crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
     # weld tolerance in lattice units: lattice step = voxel_size / 2
     lattice_tol = merge_tol_factor * 2.0
 

@@ -116,8 +116,16 @@ class NeuralMap:
             normals_cam = geometry.normals_from_depth(depth, intr,
                                                       mask=depth > 0)
             pts_w = geometry.transform_points(T_wc, xyz_cam.reshape(-1, 3))
-            normals_w = geometry.rotate_vectors(T_wc,
-                                                normals_cam.reshape(-1, 3))
+            # the pretrained encoder's convention (determined empirically on
+            # a fused plane): decoded SDF is positive OPPOSITE the input
+            # normal.  The pipeline needs SDF positive on the camera side —
+            # consistent with the render loss (gt_depth - sample_depth) and
+            # the TSDF prior — so the camera-facing normals are negated here.
+            # (The reference carries the same quirk: its dataset notes the
+            # normals need a *-1 "due to a bug in data preparation",
+            # reference src/datasets/fusion_inference_dataset.py:64-66.)
+            normals_w = -geometry.rotate_vectors(T_wc,
+                                                 normals_cam.reshape(-1, 3))
             table, stats = fusion.fuse_frame(
                 table, params, pts_w, normals_w, valid, bound_min, bound_max,
                 vs, min_pts, compute_dtype=fuse_dtype,
@@ -259,7 +267,8 @@ class NeuralMap:
                 self.bound_min, vs, min_pts,
                 sdf_delta=sdf_delta if use_delta else None,
                 n_xyz=self.n_xyz, is_coords=True,
-                use_fused_kernel=use_fused)
+                use_fused_kernel=use_fused,
+                masked_fill=float("nan"))
 
         return decode
 
@@ -280,7 +289,7 @@ class NeuralMap:
         return mesh_mod.extract_mesh(
             decode_fn, active.astype(np.int32),
             np.asarray(self.bound_min), self.voxel_size,
-            batch_size=batch_size)
+            batch_size=batch_size, mask_sentinel=True)
 
     def extract_mesh_incremental(self, use_delta: bool = True,
                                  batch_size: int = 1 << 18):
@@ -328,3 +337,18 @@ class NeuralMap:
         self.table = tbl.load_entries(
             self.table, data["active_coordinates"],
             data["features"], data["weights"], data["num_hits"])
+
+    def load_map(self, path_prefix: str):
+        """Resume a saved map: sparse volume + TSDF prior (the counterpart of
+        ``save``; enables mid-sequence resume of the online loop, which the
+        reference lacks — SURVEY §5 checkpoint/resume)."""
+        self.load_volume(path_prefix + "_sparse_volume.npz")
+        metric = np.load(path_prefix + "_tsdf.npy")
+        normalized = metric / (self.tsdf_voxel_size * 5.0)
+        if normalized.shape != self.tsdf_vol.sdf.shape:
+            raise ValueError(
+                f"tsdf prior shape {normalized.shape} != volume "
+                f"{self.tsdf_vol.sdf.shape}")
+        self.tsdf_vol = self.tsdf_vol.replace(
+            sdf=jnp.asarray(normalized, jnp.float32),
+            weight=jnp.ones_like(self.tsdf_vol.weight))

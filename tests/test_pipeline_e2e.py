@@ -23,10 +23,10 @@ def cfg():
     # CPU-sized operating point.  min_pts_in_grid=4: the decode mask needs a
     # voxel observed in >= min_pts frames (weight accumulates ~1/frame); the
     # reference's default 8 assumes ~30 fused frames (lounge skip=10), here we
-    # fuse 16.
+    # fuse 24.
     return load_config([
         "model.voxel_size=0.04",
-        "dataset.num_images=16",
+        "dataset.num_images=24",
         "dataset.img_res=[240,320]",
         "dataset.num_pixels=1024",
         "model.train_ray_splits=256",
@@ -52,7 +52,7 @@ def fused_map(cfg, dataset, pretrained_tcnn_path):
 
 
 def test_local_fusion_statistics(fused_map):
-    assert len(fused_map.frames) == 16
+    assert len(fused_map.frames) == 24
     stats = np.asarray(fused_map.stats)
     # voxel-size heuristic from the reference README: mean pts/voxel >= 8
     assert stats.mean() >= 8
