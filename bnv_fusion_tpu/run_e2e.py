@@ -63,11 +63,24 @@ def main(argv=None):
     optim_interval = int(getattr(cfg.model, "optim_interval", 100))
     skip = int(getattr(cfg.dataset, "skip_images", 1)) or 1
 
+    # throughput mode: fuse K frames per device launch (identical sequential
+    # semantics; amortizes dispatch overhead).  Demo mode stays per-frame so
+    # periodic optimization interleaves at the right boundaries.
+    batch_k = int(getattr(cfg.model, "integrate_batch_size", 1))
+    use_batch = batch_k > 1 and not demo_mode
+    pending = []
+
     log.info(f"fusing {len(dataset)} frames (scan {cfg.dataset.scan_id})")
     for idx in range(len(dataset)):
         frame = dataset[idx]
         nmap.timer.start("local")
-        nmap.integrate(frame)
+        if use_batch:
+            pending.append(frame)
+            if len(pending) == batch_k or idx == len(dataset) - 1:
+                nmap.integrate_batch(pending)
+                pending = []
+        else:
+            nmap.integrate(frame)
         nmap.timer.log("local")
         if demo_mode and idx % optim_interval == 0 and nmap.frames:
             last = max(0, len(nmap.frames) - optim_interval)
@@ -95,7 +108,14 @@ def main(argv=None):
     for phase in ("local", "global"):
         t = nmap.timer.times[phase]
         fps = global_steps / t if t > 0 else float("inf")
+        # same formula as the reference printout (run_e2e.py:289-290; note it
+        # divides global_steps by BOTH phases' times, compile time included)
         print(f"speed on {phase} fusion: {fps:.2f} fps")
+    t_local = nmap.timer.times["local"]
+    if t_local > 0:
+        print(f"local fusion throughput: "
+              f"{len(nmap.frames) / t_local:.2f} frames/s "
+              f"({len(nmap.frames)} frames, compile included)")
 
     m = nmap.extract_mesh()
     if m is not None:
