@@ -38,6 +38,8 @@ def main():
         "dataset.num_images=40",
         "dataset.img_res=[480,640]",
         "model.table_capacity=2097152",
+        # scene-tuned compaction width (this scene touches ~37k voxels/frame)
+        "model.max_unique_per_frame=65536",
     ])
     ckpt = "/root/reference/pretrained/pointnet_tcnn.ckpt"
     if os.path.exists(ckpt):
@@ -71,6 +73,12 @@ def main():
     _ = np.asarray(nm.table.weights[:1])
     dt = time.time() - t0
     fps = sum(len(b) for b in timed) / dt
+
+    overflow = int(np.asarray(nm.table.overflow))
+    if overflow:
+        print(f"WARNING: {overflow} voxels overflowed the compaction width "
+              f"(max_unique_per_frame too small for this scene)",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "fused depth frames/sec/chip (480x640, synthetic lounge-like scene)",

@@ -10,16 +10,19 @@ program with static shapes:
 1. mask points to the (padded) scene bounds,
 2. expand each point to its 8 voxel corners; encode (relative-offset, normal)
    6-vectors with the PointNet MLP (MXU matmuls over an [8N, 6] batch),
-3. insert all corners into the sparse table (claim-round hash insert) — the
-   per-frame ``torch.unique`` disappears: deduplication IS the hash table,
-4. segment-mean by slot via two scatter-adds into capacity-sized accumulators,
-5. one dense vectorized pass over the table: weight = clip(count/32, 1),
-   drop voxels with fewer than min_pts_in_grid points, TSDF-style running
-   weighted mean against the stored latents.
+3. reduce the 8N (voxel id, feature) stream to per-voxel sums — on dense
+   slot-map tables via the sort-reduce path (fuse_frame_sorted: lexicographic
+   sort + mean-centered cumsum + segment-end compaction; chosen from measured
+   v5e costs where scatters are ~60ns/element and sorts nearly free), on hash
+   tables via capacity-sized scatter accumulators,
+4. loop-free slot allocation for new voxels,
+5. per-touched-slot running mean: weight = clip(count/32, 1), drop voxels
+   with fewer than min_pts_in_grid points (reference semantics exactly).
 
-Numerics match the reference update exactly (same masking, same clipping,
-same mean) — voxels under the min-pts threshold occupy a slot here but keep
-zero weight/features, which decodes identically to "absent".
+Numerics match the reference update (same masking, clipping and mean, cross-
+checked against a numpy transliteration in tests) — voxels under the min-pts
+threshold occupy a slot here but keep zero weight/features, which decodes
+identically to "absent".
 """
 
 from __future__ import annotations
