@@ -139,7 +139,23 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
                                opt_state=opt_state)
         return new_state, jnp.mean(losses)
 
-    return opt, jax.jit(step, donate_argnums=(0,))
+    def multi_step(state: OptimState, table: tbl.AnyTable,
+                   depths: jnp.ndarray, T_wcs: jnp.ndarray,
+                   intrs: jnp.ndarray, bound_min: jnp.ndarray,
+                   n_xyz: jnp.ndarray, sdf_delta: jnp.ndarray | None, keys):
+        """Several Adam iterations (one random frame each) in ONE device
+        launch — amortizes the tunneled runtime's per-dispatch overhead
+        (~64 ms) over the iterations.  Semantics identical to calling
+        ``step`` sequentially."""
+        def body(st, inp):
+            depth, T_wc, intr, key = inp
+            return step(st, table, depth, T_wc, intr, bound_min, n_xyz,
+                        sdf_delta, key)
+
+        return jax.lax.scan(body, state, (depths, T_wcs, intrs, keys))
+
+    return opt, jax.jit(step, donate_argnums=(0,)), \
+        jax.jit(multi_step, donate_argnums=(0,))
 
 
 def init_optim_state(opt, table: tbl.AnyTable) -> OptimState:

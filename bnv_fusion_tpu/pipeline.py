@@ -224,11 +224,12 @@ class NeuralMap:
         if not self.frames:
             return
         if self._optim_step is None:
-            self._optim, self._optim_step = optimize.make_optimize_step(
-                self.params, self.voxel_size, self.min_pts_in_grid,
-                self.truncated_units, self.truncated_dist, self.ray_max_dist,
-                n_rays=self.sampling_size,
-                train_ray_splits=self.train_ray_splits, lr=lr)
+            self._optim, self._optim_step, self._optim_multi = \
+                optimize.make_optimize_step(
+                    self.params, self.voxel_size, self.min_pts_in_grid,
+                    self.truncated_units, self.truncated_dist,
+                    self.ray_max_dist, n_rays=self.sampling_size,
+                    train_ray_splits=self.train_ray_splits, lr=lr)
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
@@ -236,13 +237,30 @@ class NeuralMap:
 
         lo = 0 if last_frame < 0 else max(0, last_frame)
         frame_pool = self.frames[lo:]
-        for it in range(int(n_iters)):
-            self._rng_key, k_frame, k_step = jax.random.split(self._rng_key, 3)
-            fi = int(jax.random.randint(k_frame, (), 0, len(frame_pool)))
-            f = frame_pool[fi]
-            state, loss = self._optim_step(
-                state, self.table, f["depth"], f["T_wc"], f["intr"],
-                self.bound_min, self.n_xyz, sdf_delta, k_step)
+        # group iterations per device launch (amortizes dispatch overhead)
+        group = int(getattr(self.config.model, "optim_iters_per_launch", 4))
+        rng = np.random.RandomState(
+            int(jax.random.randint(self._rng_key, (), 0, 2 ** 31 - 1)))
+        self._rng_key, _ = jax.random.split(self._rng_key)
+        done = 0
+        while done < int(n_iters):
+            k = min(group, int(n_iters) - done)
+            fis = rng.randint(0, len(frame_pool), size=k)
+            depths = jnp.stack([frame_pool[i]["depth"] for i in fis])
+            T_wcs = jnp.stack([frame_pool[i]["T_wc"] for i in fis])
+            intrs = jnp.stack([frame_pool[i]["intr"] for i in fis])
+            self._rng_key, k_step = jax.random.split(self._rng_key)
+            keys = jax.random.split(k_step, k)
+            if k == group:
+                state, losses = self._optim_multi(
+                    state, self.table, depths, T_wcs, intrs,
+                    self.bound_min, self.n_xyz, sdf_delta, keys)
+            else:  # remainder: per-iteration launches (no extra compiles)
+                for j in range(k):
+                    state, _ = self._optim_step(
+                        state, self.table, depths[j], T_wcs[j], intrs[j],
+                        self.bound_min, self.n_xyz, sdf_delta, keys[j])
+            done += k
         # write optimized features (and bumped weights) back into the map
         self.table = self.table.replace(features=state.features,
                                         weights=state.weights)
