@@ -73,6 +73,57 @@ def hierarchical_sampling(key, n_fine: int, n_coarse: int,
     return pts, dists
 
 
+def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray,
+               n_samples: int, det: bool = False) -> jnp.ndarray:
+    """Inverse-CDF importance sampling along rays (NeRF-style).
+
+    Rebuilds reference render_utils.sample_pdf (render_utils.py:97-139):
+    bins [N, B], weights [N, B-1] -> samples [N, n_samples].
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    n = cdf.shape[0]
+    if det:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples),
+                             (n, n_samples))
+    else:
+        u = jax.random.uniform(key, (n, n_samples))
+
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(idx - 1, 0)
+    above = jnp.minimum(idx, cdf.shape[-1] - 1)
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_lo = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1),
+                                  axis=-1)
+    bins_hi = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1),
+                                  axis=-1)
+    denom = jnp.where(cdf_hi - cdf_lo < 1e-5, 1.0, cdf_hi - cdf_lo)
+    t = (u - cdf_lo) / denom
+    return bins_lo + t * (bins_hi - bins_lo)
+
+
+def composite_occupancy(pts: jnp.ndarray, occupied_prob: jnp.ndarray,
+                        dists: jnp.ndarray):
+    """Expected surface point from per-sample occupancy along rays.
+
+    Rebuilds reference render_utils.render_pts (render_utils.py:253-270):
+    front-to-back compositing of pass-through probabilities.  pts [N, S, 3],
+    occupied_prob [N, S], dists [N, S, 1].  Returns (expected_pts [N, 3],
+    depth_prob [N, S], background_prob [N]).
+    """
+    passthrough = jnp.cumprod(1.0 - occupied_prob, axis=-1)
+    passthrough = jnp.concatenate(
+        [jnp.ones_like(passthrough[..., :1]), passthrough], axis=-1)
+    background = passthrough[..., -1]
+    depth_prob = passthrough[..., :-1] * occupied_prob
+    expected = jnp.sum(depth_prob[..., None] * pts, axis=-2)
+    return expected, depth_prob, background
+
+
 def render_rays_sdf(features: jnp.ndarray, table: tbl.AnyTable,
                     params: Dict[str, Any], rays: Rays, key,
                     bound_min: jnp.ndarray, voxel_size: float,

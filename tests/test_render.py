@@ -95,3 +95,34 @@ def test_sdf_loss_masked_rays_ignored():
     pts = jnp.concatenate([jnp.zeros((16, 9, 2)), d[..., None]], axis=-1)
     loss = render.compute_sdf_loss(rays, jnp.zeros((16, 9)), pts, cam, 0.3)
     assert float(loss) < 1e-6
+
+
+def test_sample_pdf_concentrates_on_heavy_bins():
+    import jax
+
+    bins = jnp.asarray(np.tile(np.linspace(0, 1, 9), (4, 1)).astype(np.float32))
+    w = np.zeros((4, 8), np.float32)
+    w[:, 5] = 10.0  # mass in bin [0.625, 0.75]
+    s = np.asarray(render.sample_pdf(jax.random.key(0), bins,
+                                     jnp.asarray(w), 64))
+    assert s.shape == (4, 64)
+    inside = ((s > 0.625) & (s < 0.75)).mean()
+    assert inside > 0.9
+    # deterministic mode covers the full cdf range monotonically
+    sd = np.asarray(render.sample_pdf(jax.random.key(0), bins,
+                                      jnp.asarray(w), 16, det=True))
+    assert (np.diff(sd, axis=1) >= -1e-6).all()
+
+
+def test_composite_occupancy_picks_first_surface():
+    n, s = 3, 10
+    d = np.tile(np.linspace(0.1, 1.0, s), (n, 1)).astype(np.float32)
+    pts = np.zeros((n, s, 3), np.float32)
+    pts[..., 2] = d
+    occ = np.zeros((n, s), np.float32)
+    occ[:, 4] = 1.0  # opaque at sample 4
+    expected, depth_prob, background = render.composite_occupancy(
+        jnp.asarray(pts), jnp.asarray(occ), jnp.asarray(d[..., None]))
+    np.testing.assert_allclose(np.asarray(expected)[:, 2], d[:, 4], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(background), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(depth_prob)[:, 4], 1.0, atol=1e-6)
