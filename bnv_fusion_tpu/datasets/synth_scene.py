@@ -37,16 +37,24 @@ class BoxObj:
 class SceneSpec:
     spheres: List[SphereObj] = field(default_factory=list)
     boxes: List[BoxObj] = field(default_factory=list)
+    # rooms: inverted boxes — solid is OUTSIDE the box (walls seen from inside)
+    rooms: List[BoxObj] = field(default_factory=list)
+
+    @staticmethod
+    def _box_sdf(pts, b: BoxObj):
+        q = np.abs(pts - b.center) - b.half_extent
+        outside = np.linalg.norm(np.maximum(q, 0), axis=-1)
+        inside = np.minimum(np.max(q, axis=-1), 0.0)
+        return outside + inside
 
     def sdf(self, pts: np.ndarray) -> np.ndarray:
         vals = [np.full(len(pts), np.inf, np.float32)]
         for s in self.spheres:
             vals.append(np.linalg.norm(pts - s.center, axis=-1) - s.radius)
         for b in self.boxes:
-            q = np.abs(pts - b.center) - b.half_extent
-            outside = np.linalg.norm(np.maximum(q, 0), axis=-1)
-            inside = np.minimum(np.max(q, axis=-1), 0.0)
-            vals.append(outside + inside)
+            vals.append(self._box_sdf(pts, b))
+        for r in self.rooms:
+            vals.append(-self._box_sdf(pts, r))
         return np.min(np.stack(vals, -1), -1).astype(np.float32)
 
 
@@ -60,6 +68,33 @@ def default_scene() -> SceneSpec:
             BoxObj(np.array([0.0, 0.0, -0.05], np.float32),
                    np.array([1.2, 1.2, 0.05], np.float32)),  # ground slab
         ])
+
+
+def room_scene() -> SceneSpec:
+    """An inside-out room with furniture — the ICL-NUIM living-room analog
+    (cameras INSIDE the geometry, walls seen from within)."""
+    return SceneSpec(
+        rooms=[BoxObj(np.array([0.0, 0.0, 0.65], np.float32),
+                      np.array([1.5, 1.2, 0.75], np.float32))],
+        boxes=[
+            BoxObj(np.array([0.8, -0.5, 0.25], np.float32),
+                   np.array([0.35, 0.25, 0.25], np.float32)),   # "sofa"
+            BoxObj(np.array([-0.7, 0.5, 0.2], np.float32),
+                   np.array([0.3, 0.2, 0.2], np.float32)),      # "table"
+        ],
+        spheres=[SphereObj(np.array([-0.6, -0.6, 0.25], np.float32), 0.22)],
+    )
+
+
+def _ray_box_inside(o, d, b: BoxObj):
+    """First exit intersection with a box seen from INSIDE (room walls)."""
+    lo = b.center - b.half_extent
+    hi = b.center + b.half_extent
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0 = (lo - o) / d
+        t1 = (hi - o) / d
+    tmax = np.nanmin(np.maximum(t0, t1), axis=-1)
+    return np.where(tmax > 1e-6, tmax, np.inf)
 
 
 def look_at_pose(eye: np.ndarray, target: np.ndarray,
@@ -119,6 +154,8 @@ def render_depth(scene: SceneSpec, T_wc: np.ndarray, intr: np.ndarray,
         t = np.minimum(t, _ray_sphere(o, dirs_w, s))
     for b in scene.boxes:
         t = np.minimum(t, _ray_box(o, dirs_w, b))
+    for r in scene.rooms:
+        t = np.minimum(t, _ray_box_inside(o, dirs_w, r))
     # t is in units of the unnormalized direction (z_cam = 1) == z-depth
     depth = np.where(np.isfinite(t) & (t < max_depth), t, 0.0)
     return depth.reshape(h, w).astype(np.float32)
@@ -243,6 +280,10 @@ class SyntheticDemoDataset:
     def gt_mesh(self, resolution: int = 192) -> Mesh:
         return gt_mesh(self.scene, resolution=resolution)
 
+    # pose generation hook for subclasses
+    def _make_poses(self):
+        raise NotImplementedError
+
     def frame_pointcloud(self, idx: int):
         """(pts_w [N,3], normals_w [N,3], valid [N]) for one frame (host)."""
         f = self[idx]
@@ -292,3 +333,23 @@ class SyntheticDemoDataset:
             cam = np.stack([x, y, z], -1)
             pts.append(cam @ T_wc[:3, :3].T + T_wc[:3, 3])
         return np.concatenate(pts, 0).astype(np.float32)
+
+
+@register("synthetic_room")
+class SyntheticRoomDataset(SyntheticDemoDataset):
+    """Inside-out room capture — the ICL-NUIM living-room analog: the camera
+    pans from inside the room, walls/floor/ceiling seen from within plus
+    furniture-scale objects."""
+
+    def __init__(self, cfg, stage: str = "val"):
+        super().__init__(cfg, stage)
+        self.scene = room_scene()
+        self.dimensions = np.array([3.2, 2.6, 1.7], np.float32)
+        self.scan_id = getattr(cfg.dataset, "scan_id", "synthetic_room")
+        self.poses = []
+        for i in range(self.n_frames):
+            ang = 2 * np.pi * i / self.n_frames
+            # small inner circle, looking outward at the walls
+            eye = np.array([0.35 * np.cos(ang), 0.3 * np.sin(ang), 0.8])
+            target = np.array([1.4 * np.cos(ang), 1.1 * np.sin(ang), 0.55])
+            self.poses.append(look_at_pose(eye, target))
