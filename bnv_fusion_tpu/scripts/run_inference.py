@@ -44,6 +44,8 @@ def main(argv=None):
     ap.add_argument("--mode", choices=["e2e", "fuse_refine"], default="e2e",
                     help="e2e = online pipeline; fuse_refine = offline "
                          "test.py fuse then refiner (reference sweep flow)")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="additional config overrides appended per sequence")
     args = ap.parse_args(argv)
 
     op = OPERATING_POINTS[args.kind]
@@ -60,6 +62,7 @@ def main(argv=None):
         ]
         if args.data_dir:
             overrides.append(f"data_dir={args.data_dir}")
+        overrides += list(args.extra)
         try:
             if args.mode == "e2e":
                 from bnv_fusion_tpu.run_e2e import main as e2e_main
