@@ -131,7 +131,7 @@ def fuse_frame(table: tbl.AnyTable, params: Dict[str, Any],
     stats = FrameStats(
         n_avg_pts=jnp.sum(cnt) / jnp.maximum(n_touched, 1.0),
         n_touched=n_touched,
-        n_valid_pts=jnp.sum(valid.astype(jnp.float32)),
+        n_valid_pts=jnp.sum(valid8[:, 0].astype(jnp.float32)),
     )
     return table, stats
 
@@ -182,7 +182,10 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
     # caller passes compute_dtype=bfloat16 (model.fuse_dtype config).
     payload_dtype = (jnp.bfloat16 if compute_dtype == jnp.bfloat16
                      else jnp.float32)
-    f8 = feats.reshape(m, fdim).astype(payload_dtype)
+    # zero invalid entries: masked points may carry NaN/garbage (e.g. NaN
+    # depth) that would otherwise poison the global mean-centered cumsum
+    f8 = jnp.where(inside[:, None], feats.reshape(m, fdim), 0.0)
+    f8 = f8.astype(payload_dtype)
     sorted_ops = jax.lax.sort(
         (flat,) + tuple(f8[:, j] for j in range(fdim)), num_keys=1)
     flat_s = sorted_ops[0]
@@ -249,7 +252,8 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
     stats = FrameStats(
         n_avg_pts=jnp.sum(jnp.where(umask, cnt_u, 0.0)) / nf,
         n_touched=n_unique.astype(jnp.float32),
-        n_valid_pts=jnp.sum(valid.astype(jnp.float32)),
+        # count points that survived the bound mask (actually fused)
+        n_valid_pts=jnp.sum(valid8[:, 0].astype(jnp.float32)),
     )
     return table, stats
 

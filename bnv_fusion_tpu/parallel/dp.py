@@ -90,7 +90,7 @@ def make_sharded_fuse_frame(mesh: Mesh, params: Dict[str, Any],
         stats = fusion.FrameStats(
             n_avg_pts=jnp.sum(cnt) / jnp.maximum(n_touched, 1.0),
             n_touched=n_touched,
-            n_valid_pts=jax.lax.psum(jnp.sum(valid.astype(jnp.float32)), axis),
+            n_valid_pts=jax.lax.psum(jnp.sum(valid8[:, 0].astype(jnp.float32)), axis),
         )
         return table, stats
 

@@ -110,7 +110,8 @@ def make_spatial_fuse_frame(mesh: Mesh, params: Dict[str, Any],
         inside = jnp.all((keys >= 0) & (keys < n_xyz), axis=-1) & ok
         flat = (keys[:, 0] * (n_xyz[1] * n_xyz[2]) + keys[:, 1] * n_xyz[2] +
                 keys[:, 2])
-        f8 = feats.reshape(n * 8, -1)
+        # zero invalid entries (NaN-depth guard, same as fuse_frame_sorted)
+        f8 = jnp.where(inside[:, None], feats.reshape(n * 8, -1), 0.0)
 
         # assemble the full frame's entries on every device (compute was DP)
         flat_all = jax.lax.all_gather(jnp.where(inside, flat, -1), axis,
@@ -193,8 +194,8 @@ def make_spatial_fuse_frame(mesh: Mesh, params: Dict[str, Any],
             n_avg_pts=total_cnt / jnp.maximum(
                 total_unique.astype(jnp.float32), 1.0),
             n_touched=total_unique.astype(jnp.float32),
-            n_valid_pts=jax.lax.psum(jnp.sum(valid.astype(jnp.float32)),
-                                     axis))
+            n_valid_pts=jax.lax.psum(
+                jnp.sum(valid8[:, 0].astype(jnp.float32)), axis))
         return table, stats
 
     specs = _table_specs(axis)
