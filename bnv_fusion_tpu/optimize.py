@@ -38,12 +38,15 @@ class OptimState(NamedTuple):
 
 def build_rays_from_frame(key, depth: jnp.ndarray, T_wc: jnp.ndarray,
                           intr: jnp.ndarray, max_depth: float,
-                          n_rays: int) -> render.Rays:
+                          n_rays: int, neighbor_kernel: int = 3
+                          ) -> render.Rays:
     """Device-side ray sampling from one raw depth frame.
 
     Equivalent to IterableInferenceDataset._sample_key_frame (reference
     src/datasets/fusion_inference_dataset.py:365-404): back-project, pick
-    ``n_rays`` pixels without replacement, gather the 3x3 neighbor window.
+    ``n_rays`` pixels without replacement, gather the neighbor window (the
+    reference uses 3x3 in the online loop and 15x15 in the refiner datasets,
+    fusion_dataset.py:349-374).
     """
     h, w = depth.shape
     mask = (depth > 0) & (depth < max_depth)
@@ -57,7 +60,7 @@ def build_rays_from_frame(key, depth: jnp.ndarray, T_wc: jnp.ndarray,
     gt_pts = xyz_w[idx]
     ray_mask = mask.reshape(-1)[idx].astype(jnp.float32)
     neighbor_pts, neighbor_masks = geometry.gather_pixel_neighborhoods(
-        xyz_map_w, mask, uv.astype(jnp.int32), 3)
+        xyz_map_w, mask, uv.astype(jnp.int32), neighbor_kernel)
     return render.Rays(
         uv=uv, gt_pts=gt_pts, mask=ray_mask,
         neighbor_pts=neighbor_pts,
@@ -69,7 +72,8 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
                        min_pts_in_grid: int, truncated_units: int,
                        truncated_dist: float, ray_max_dist: float,
                        n_rays: int, train_ray_splits: int,
-                       lr: float = 1e-3, compute_dtype=jnp.float32):
+                       lr: float = 1e-3, compute_dtype=jnp.float32,
+                       neighbor_kernel: int = 3):
     """Build (optimizer, jitted step).
 
     step(state, table, frame depth/T_wc/intr, bound_min, n_xyz, sdf_delta,
@@ -99,7 +103,8 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
              sdf_delta: jnp.ndarray | None, key) -> Tuple[OptimState, jnp.ndarray]:
         k_rays, k_chunks = jax.random.split(key)
         rays = build_rays_from_frame(k_rays, depth, T_wc, intr,
-                                     ray_max_dist, n_rays)
+                                     ray_max_dist, n_rays,
+                                     neighbor_kernel=neighbor_kernel)
 
         def reshape(x):
             return x.reshape((n_chunks, train_ray_splits) + x.shape[1:])

@@ -229,7 +229,9 @@ class NeuralMap:
                     self.params, self.voxel_size, self.min_pts_in_grid,
                     self.truncated_units, self.truncated_dist,
                     self.ray_max_dist, n_rays=self.sampling_size,
-                    train_ray_splits=self.train_ray_splits, lr=lr)
+                    train_ray_splits=self.train_ray_splits, lr=lr,
+                    neighbor_kernel=int(getattr(self.config.model,
+                                                "neighbor_kernel", 3)))
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
