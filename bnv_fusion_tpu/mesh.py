@@ -208,28 +208,29 @@ def merge_vertices(mesh: Mesh, tol: float) -> Mesh:
 # Sparse-volume meshing driver
 # ---------------------------------------------------------------------------
 
-def build_sample_lattice(active_coords: np.ndarray):
-    """Active voxel coords -> dedup half-lattice sample points + cells.
+def build_sample_lattice(active_coords: np.ndarray, scale: int = 2):
+    """Active voxel coords -> dedup sub-voxel lattice sample points + cells.
 
     The reference samples a 3x3x3 grid at half-voxel steps around every active
-    corner (sparse_volume.py:717-731).  On the global half lattice
-    (coord*2 +/- 1), each voxel contributes 27 points and 8 sub-cells; shared
-    points/cells between neighbors are deduplicated here.
+    corner (sparse_volume.py:717-731) — ``scale=2``.  Higher scales sample
+    finer (scale=4 = quarter-voxel steps) over the same +-0.5 voxel block.
+    Shared points/cells between neighboring voxels are deduplicated.
 
-    Returns (points_half [P, 3] int64, cell_corner_index [M, 8] int32 into
-    points, cell_origins_half [M, 3] int64).
+    Returns (points_lattice [P, 3] int64 in units of voxel/scale,
+    cell_corner_index [M, 8] int32 into points, cell_origins [M, 3] int64).
     """
-    offs = np.array([-1, 0, 1], np.int64)
+    half = scale // 2
+    offs = np.arange(-half, half + 1, dtype=np.int64)
     grid = np.stack(np.meshgrid(offs, offs, offs, indexing="ij"),
-                    axis=-1).reshape(-1, 3)                     # 27
-    pts = (active_coords[:, None, :].astype(np.int64) * 2 +
+                    axis=-1).reshape(-1, 3)
+    pts = (active_coords[:, None, :].astype(np.int64) * scale +
            grid[None, :, :]).reshape(-1, 3)
     points, inv = np.unique(pts, axis=0, return_inverse=True)
 
-    cell_offs = np.array([-1, 0], np.int64)
+    cell_offs = np.arange(-half, half, dtype=np.int64)
     cgrid = np.stack(np.meshgrid(cell_offs, cell_offs, cell_offs,
-                                 indexing="ij"), axis=-1).reshape(-1, 3)  # 8
-    cells = (active_coords[:, None, :].astype(np.int64) * 2 +
+                                 indexing="ij"), axis=-1).reshape(-1, 3)
+    cells = (active_coords[:, None, :].astype(np.int64) * scale +
              cgrid[None, :, :]).reshape(-1, 3)
     cells = np.unique(cells, axis=0)
 
@@ -257,7 +258,8 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
                  voxel_size: float, batch_size: int = 262144,
                  merge_tol_factor: float = 0.25,
                  use_native: bool = True,
-                 mask_sentinel: bool = False) -> Optional[Mesh]:
+                 mask_sentinel: bool = False,
+                 lattice_scale: int = 2) -> Optional[Mesh]:
     """Decode the SDF on the half lattice and run marching tetrahedra.
 
     ``decode_fn(coords_f32 [B, 3]) -> sdf [B]`` evaluates the sparse volume at
@@ -270,8 +272,9 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
     """
     if len(active_coords) == 0:
         return None
-    points, corner_idx, cells = build_sample_lattice(active_coords)
-    coords = points.astype(np.float32) / 2.0
+    points, corner_idx, cells = build_sample_lattice(active_coords,
+                                                     lattice_scale)
+    coords = points.astype(np.float32) / lattice_scale
 
     sdf = np.empty((len(points),), np.float32)
     for s in range(0, len(points), batch_size):
@@ -295,8 +298,8 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
         cell_sdf = np.where(observed, cell_sdf, voxel_size)
     else:
         crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
-    # weld tolerance in lattice units: lattice step = voxel_size / 2
-    lattice_tol = merge_tol_factor * 2.0
+    # weld tolerance in lattice units: lattice step = voxel_size / scale
+    lattice_tol = merge_tol_factor * lattice_scale
 
     if use_native:
         from bnv_fusion_tpu import native
@@ -307,14 +310,14 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
             verts, faces = out
             if len(verts) == 0:
                 return None
-            verts = verts / 2.0 * voxel_size + np.asarray(min_coords)
+            verts = verts / lattice_scale * voxel_size + np.asarray(min_coords)
             return Mesh(verts.astype(np.float32), faces)
 
     mesh = marching_tetrahedra(cells[crossing], cell_sdf[crossing])
     if len(mesh.vertices) == 0:
         return None
-    # lattice -> world: half coords / 2 * voxel_size + min_coords
-    verts = mesh.vertices / 2.0 * voxel_size + np.asarray(min_coords)
+    # lattice -> world
+    verts = mesh.vertices / lattice_scale * voxel_size + np.asarray(min_coords)
     mesh = Mesh(verts.astype(np.float32), mesh.faces)
     return merge_vertices(mesh, voxel_size * merge_tol_factor)
 

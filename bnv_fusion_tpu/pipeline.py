@@ -223,6 +223,9 @@ class NeuralMap:
         (reference run_e2e.py:111-162)."""
         if not self.frames:
             return
+        if getattr(self, "_optim_lr", None) != lr:
+            self._optim_step = None  # lr is baked into the jitted step
+            self._optim_lr = lr
         if self._optim_step is None:
             self._optim, self._optim_step, self._optim_multi = \
                 optimize.make_optimize_step(
@@ -292,10 +295,17 @@ class NeuralMap:
 
         return decode
 
+    def _decode_for(self, use_delta: bool):
+        """Cached jitted decode, keyed by use_delta (it is baked in)."""
+        if getattr(self, "_decode_cache", None) is None:
+            self._decode_cache = {}
+        if use_delta not in self._decode_cache:
+            self._decode_cache[use_delta] = self._build_decode(use_delta)
+        return self._decode_cache[use_delta]
+
     def extract_mesh(self, use_delta: bool = True,
                      batch_size: int = 1 << 18) -> Optional[mesh_mod.Mesh]:
-        if self._decode_jit is None:
-            self._decode_jit = self._build_decode(use_delta)
+        self._decode_jit = self._decode_for(use_delta)
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
@@ -309,7 +319,9 @@ class NeuralMap:
         return mesh_mod.extract_mesh(
             decode_fn, active.astype(np.int32),
             np.asarray(self.bound_min), self.voxel_size,
-            batch_size=batch_size, mask_sentinel=True)
+            batch_size=batch_size, mask_sentinel=True,
+            lattice_scale=int(getattr(self.config.model,
+                                      "mesh_lattice_scale", 2)))
 
     def extract_mesh_incremental(self, use_delta: bool = True,
                                  batch_size: int = 1 << 18):
@@ -321,8 +333,7 @@ class NeuralMap:
         """
         from bnv_fusion_tpu.incremental_mesh import IncrementalMesher
 
-        if self._decode_jit is None:
-            self._decode_jit = self._build_decode(use_delta)
+        self._decode_jit = self._decode_for(use_delta)
         if getattr(self, "_inc_mesher", None) is None:
             self._inc_mesher = IncrementalMesher(
                 np.asarray(self.bound_min), self.voxel_size,

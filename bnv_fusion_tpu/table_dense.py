@@ -214,6 +214,10 @@ def active_entries(table: DenseIndexedTable):
 def load_entries(n_xyz, capacity: int, coords, features, weights, num_hits
                  ) -> DenseIndexedTable:
     feat_dims = features.shape[1]
+    if coords.shape[0] > capacity:
+        raise ValueError(
+            f"load_entries: {coords.shape[0]} entries exceed table capacity "
+            f"{capacity}; overflowing slots would silently clamp to slot 0")
     table = create_dense_table(n_xyz, capacity, feat_dims)
     coords = jnp.asarray(coords, jnp.int32)
     table, slots, ok = insert(table, coords,

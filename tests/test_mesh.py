@@ -90,6 +90,31 @@ def test_extract_mesh_analytic_sphere():
     assert np.abs(r - 0.5).max() < 0.05
 
 
+def test_extract_mesh_lattice_scale4_finer_and_accurate():
+    # quarter-voxel lattice: same sphere, tighter max error, more vertices
+    vs = 0.05
+    min_coords = np.array([-1.0, -1.0, -1.0], np.float32)
+    rng = np.arange(0, 40)
+    g = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"), -1).reshape(-1, 3)
+    world = g * vs + min_coords
+    d = np.abs(np.linalg.norm(world, axis=-1) - 0.5)
+    active = g[d < 2 * vs].astype(np.int32)
+
+    def decode_fn(coords):
+        w = np.asarray(coords) * vs + min_coords
+        return jnp.asarray(np.linalg.norm(w, axis=-1) - 0.5)
+
+    out2 = m.extract_mesh(decode_fn, active, min_coords, vs, batch_size=8192,
+                          lattice_scale=2)
+    out4 = m.extract_mesh(decode_fn, active, min_coords, vs, batch_size=8192,
+                          lattice_scale=4)
+    r4 = np.linalg.norm(out4.vertices, axis=-1)
+    assert abs(r4.mean() - 0.5) < 0.003
+    assert np.abs(r4 - 0.5).max() < np.abs(
+        np.linalg.norm(out2.vertices, axis=-1) - 0.5).max()
+    assert len(out4.vertices) > 1.3 * len(out2.vertices)
+
+
 def test_ply_roundtrip(tmp_path):
     verts = np.random.RandomState(0).rand(17, 3).astype(np.float32)
     faces = np.random.RandomState(1).randint(0, 17, (9, 3)).astype(np.int32)
