@@ -98,9 +98,13 @@ def main(argv=None):
         mesh_mod.save_ply(os.path.join(working_dir, "before_optim.ply"), m)
         log.info(f"before_optim mesh: {len(m.vertices)} verts")
 
-    global_steps = int(len(nmap.frames) * skip)
-    if not demo_mode:
-        global_steps *= 2
+    # reference formula (run_e2e.py:263-268): n_frames * skip, doubled
+    # outside demo mode.  trainer.global_steps > 0 overrides it outright.
+    global_steps = int(getattr(cfg.trainer, "global_steps", 0) or 0)
+    if global_steps <= 0:
+        global_steps = int(len(nmap.frames) * skip)
+        if not demo_mode:
+            global_steps *= 2
     nmap.timer.start("global")
     nmap.optimize(n_iters=global_steps, last_frame=-1)
     nmap.timer.log("global")
