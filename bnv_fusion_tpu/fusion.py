@@ -125,7 +125,11 @@ def fuse_frame(table: tbl.AnyTable, params: Dict[str, Any],
 
     features = jnp.where(keep[:, None], upd_f, table.features)
     weights = jnp.where(keep, upd_w, table.weights)
-    table = table.replace(features=features, weights=weights)
+    # num_hits: frames that contributed a real (>= min_pts) observation —
+    # distinguishes fused evidence from count_optim weight bumps at meshing
+    num_hits = jnp.where(keep, table.num_hits + 1.0, table.num_hits)
+    table = table.replace(features=features, weights=weights,
+                          num_hits=num_hits)
 
     n_touched = jnp.sum(touched.astype(jnp.float32))
     stats = FrameStats(
@@ -244,8 +248,13 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
                                            unique_indices=True)
     weights = table.weights.at[widx].set(upd_w, mode="drop",
                                          unique_indices=True)
+    # num_hits: count frames with a real (>= min_pts) observation, so meshing
+    # can tell fused evidence apart from count_optim weight bumps
+    old_h = jnp.where(keep, table.num_hits[slots], 0.0)
+    num_hits = table.num_hits.at[widx].set(old_h + 1.0, mode="drop",
+                                           unique_indices=True)
     table = table.replace(
-        features=features, weights=weights,
+        features=features, weights=weights, num_hits=num_hits,
         overflow=table.overflow + dropped.astype(jnp.int32))
 
     nf = jnp.maximum(n_unique.astype(jnp.float32), 1.0)

@@ -311,7 +311,13 @@ class NeuralMap:
             self.sdf_delta_weight)
         keys, feats, weights, hits, _ = tbl.active_entries(self.table)
         # only voxels that have accumulated real fusion weight carry surface
-        active = keys[weights >= self.min_pts_in_grid]
+        gate = weights >= self.min_pts_in_grid
+        if bool(getattr(self.config.model, "mesh_require_observation", False)):
+            # exclude voxels whose weight comes ONLY from count_optim bumps
+            # (never had a >= min_pts fused observation): their latents are
+            # trained from render loss alone and can hallucinate surface
+            gate &= hits > 0
+        active = keys[gate]
         if len(active) == 0:
             return None
         decode_fn = partial(self._decode_jit, self.table.features, self.table,

@@ -103,3 +103,38 @@ def test_save_load_roundtrip(fused_map, cfg, dataset, tmp_path):
     o1, o2 = np.lexsort(k1.T), np.lexsort(k2.T)
     np.testing.assert_array_equal(k1[o1], k2[o2])
     np.testing.assert_allclose(f1[o1], f2[o2], atol=1e-6)
+
+
+def test_mesh_observation_gate_excludes_bump_only_voxels(fused_map):
+    """Voxels whose weight comes ONLY from count_optim bumps (num_hits == 0)
+    are excluded from extraction when model.mesh_require_observation is on."""
+    import jax.numpy as jnp
+    from bnv_fusion_tpu import tables as tbl
+
+    nm = fused_map
+    keys, feats, weights, hits, _ = tbl.active_entries(nm.table)
+    observed = (weights >= nm.min_pts_in_grid) & (hits > 0)
+    assert observed.sum() > 0
+    # (after a prior optimize() in this module, count_optim bumps may already
+    # have unmasked hits==0 voxels — that is the behavior the gate targets)
+
+    # simulate count_optim unmasking allocated-but-underobserved voxels
+    bump_only = (hits == 0)
+    assert bump_only.sum() > 0, "fixture should have sub-min_pts voxels"
+    n_alloc = int(np.asarray(nm.table.n_alloc))
+    w = np.asarray(nm.table.weights).copy()
+    w[:n_alloc][bump_only] = nm.min_pts_in_grid + 1.0
+    bumped = nm.table.replace(weights=jnp.asarray(w))
+
+    old_table, nm.table = nm.table, bumped
+    try:
+        nm.config.model.mesh_require_observation = False
+        ungated = nm.extract_mesh(use_delta=False)
+        nm.config.model.mesh_require_observation = True
+        gated = nm.extract_mesh(use_delta=False)
+    finally:
+        nm.table = old_table
+        nm.config.model.mesh_require_observation = False
+    assert gated is not None and ungated is not None
+    # the gate must shrink the candidate set (fewer or equal vertices)
+    assert len(gated.vertices) <= len(ungated.vertices)
