@@ -348,6 +348,10 @@ class NeuralMap:
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
         keys, feats, weights, hits, _ = tbl.active_entries(self.table)
+        if bool(getattr(self.config.model, "mesh_require_observation", False)):
+            # same fused-evidence gate as extract_mesh: zeroing the weight
+            # keeps bump-only voxels below min_weight for the mesher
+            weights = np.where(hits > 0, weights, 0.0)
         decode_fn = partial(self._decode_jit, self.table.features, self.table,
                             sdf_delta)
         mesh = self._inc_mesher.update(
