@@ -84,7 +84,11 @@ def make_sharded_fuse_frame(mesh: Mesh, params: Dict[str, Any],
             jnp.maximum(upd_w, 1e-12)[:, None]
         table = table.replace(
             features=jnp.where(keep[:, None], upd_f, table.features),
-            weights=jnp.where(keep, upd_w, table.weights))
+            weights=jnp.where(keep, upd_w, table.weights),
+            # num_hits parity with fusion.fuse_frame: frames with a real
+            # (>= min_pts) observation — the default config gates meshing on
+            # it (mesh_require_observation), so the sharded path must track it
+            num_hits=jnp.where(keep, table.num_hits + 1.0, table.num_hits))
 
         n_touched = jnp.sum(touched.astype(jnp.float32))
         stats = fusion.FrameStats(

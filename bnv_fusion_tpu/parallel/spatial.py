@@ -38,12 +38,13 @@ from bnv_fusion_tpu import table_dense as tbd
 
 
 def spatial_active_entries(table: tbd.DenseIndexedTable, n_shards: int):
-    """Host-side (coords, features, weights) extraction for a spatially
-    sharded table: slot ids are shard-local, so the global value row of a
-    voxel is shard_index * capacity_per_shard + local_slot."""
+    """Host-side (coords, features, weights, num_hits) extraction for a
+    spatially sharded table: slot ids are shard-local, so the global value
+    row of a voxel is shard_index * capacity_per_shard + local_slot."""
     slot_map = np.asarray(table.slot_map)
     features = np.asarray(table.features)
     weights = np.asarray(table.weights)
+    num_hits = np.asarray(table.num_hits)
     nv_shard = slot_map.shape[0] // n_shards
     cap_shard = features.shape[0] // n_shards
     n_xyz = np.asarray(table.n_xyz, np.int64)
@@ -53,7 +54,7 @@ def spatial_active_entries(table: tbd.DenseIndexedTable, n_shards: int):
     keys = np.stack([flat // (n_xyz[1] * n_xyz[2]),
                      (flat // n_xyz[2]) % n_xyz[1],
                      flat % n_xyz[2]], -1).astype(np.int32)
-    return keys, features[rows], weights[rows]
+    return keys, features[rows], weights[rows], num_hits[rows]
 
 
 def create_spatial_table(mesh: Mesh, n_xyz, capacity: int, feat_dims: int,
@@ -179,10 +180,15 @@ def make_spatial_fuse_frame(mesh: Mesh, params: Dict[str, Any],
                                                unique_indices=True)
         weights = table.weights.at[widx].set(upd_w, mode="drop",
                                              unique_indices=True)
+        # num_hits parity with fusion.fuse_frame_sorted: real observations
+        # only — meshing gates on it under mesh_require_observation
+        old_h = jnp.where(keep, table.num_hits[slots], 0.0)
+        num_hits = table.num_hits.at[widx].set(old_h + 1.0, mode="drop",
+                                               unique_indices=True)
         n_new = jnp.sum(fits).astype(jnp.int32)
         table = table.replace(
             slot_map=slot_map, features=features,
-            weights=weights,
+            weights=weights, num_hits=num_hits,
             n_alloc=(table.n_alloc + n_new)[:1],
             overflow=(table.overflow +
                       jnp.sum(is_new & ~fits).astype(jnp.int32) +

@@ -52,13 +52,18 @@ def test_sharded_fuse_matches_single_device(rng, params):
                   jnp.asarray(bound_min), jnp.asarray(bound_max))
 
     # same set of active voxels with the same values (slots may differ)
-    k1, f1, w1, _, _ = tbl.active_entries(t1)
-    k2, f2, w2, _, _ = tbl.active_entries(t2)
+    k1, f1, w1, h1, _ = tbl.active_entries(t1)
+    k2, f2, w2, h2, _ = tbl.active_entries(t2)
     o1 = np.lexsort(k1.T)
     o2 = np.lexsort(k2.T)
     np.testing.assert_array_equal(k1[o1], k2[o2])
     np.testing.assert_allclose(w1[o1], w2[o2], atol=1e-5)
     np.testing.assert_allclose(f1[o1], f2[o2], atol=1e-4, rtol=1e-4)
+    # num_hits parity: the default config gates meshing on num_hits > 0
+    # (mesh_require_observation), so a DP-fused map must carry the same
+    # observation evidence as the single-device path
+    np.testing.assert_allclose(h1[o1], h2[o2], atol=1e-5)
+    assert float(np.sum(h2)) > 0
     assert abs(float(s1.n_avg_pts) - float(s2.n_avg_pts)) < 1e-3
 
 

@@ -51,16 +51,22 @@ def test_spatial_fuse_matches_single_device(rng, params, mesh):
                         jnp.asarray(bound_min), jnp.asarray(bound_max))
 
     # gather shard entries host-side and compare per-voxel values
-    coords_sh, feats_sh, w_sh = spatial_active_entries(table, 8)
-    got = {tuple(c): (f, w) for c, f, w in zip(coords_sh, feats_sh, w_sh)}
+    coords_sh, feats_sh, w_sh, h_sh = spatial_active_entries(table, 8)
+    got = {tuple(c): (f, w, h)
+           for c, f, w, h in zip(coords_sh, feats_sh, w_sh, h_sh)}
 
-    kref, fref, wref, _, _ = tbd.active_entries(ref)
+    kref, fref, wref, href, _ = tbd.active_entries(ref)
     assert len(got) == len(kref)
-    for c, f, w in zip(kref, fref, wref):
-        gf, gw = got[tuple(c)]
+    for c, f, w, h in zip(kref, fref, wref, href):
+        gf, gw, gh = got[tuple(c)]
         np.testing.assert_allclose(gw, w, atol=1e-5)
         np.testing.assert_allclose(gf, f, atol=1e-4, rtol=1e-4)
+        # num_hits parity: the observation gate (mesh_require_observation)
+        # must see the same evidence on the sharded path
+        np.testing.assert_allclose(gh, h, atol=1e-5)
     assert abs(float(stats.n_touched) - len(kref)) < 1e-5
+    # a fused map must carry real observations (non-zero num_hits somewhere)
+    assert float(np.sum(h_sh)) > 0
 
 
 def test_spatial_decode_matches_single_device(rng, params, mesh):
