@@ -62,13 +62,11 @@ def normals_from_depth(depth: jnp.ndarray, intr: jnp.ndarray,
     if mask is not None:
         xyz = jnp.where(mask[..., None], xyz, 0.0)
 
-    def central_diff(a, axis):
-        fwd = jnp.roll(a, -1, axis=axis)
-        bwd = jnp.roll(a, 1, axis=axis)
-        return (fwd - bwd) * 0.5
-
-    du = central_diff(xyz, axis=1)
-    dv = central_diff(xyz, axis=0)
+    # central differences in the interior, one-sided at the image borders
+    # (a roll-based version would difference opposite image edges at
+    # rows/cols 0 and H-1/W-1, producing garbage border normals)
+    du = jnp.gradient(xyz, axis=1)
+    dv = jnp.gradient(xyz, axis=0)
     n = jnp.cross(du, dv)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = n / jnp.maximum(norm, 1e-8)

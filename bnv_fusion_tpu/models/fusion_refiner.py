@@ -39,6 +39,7 @@ class FusionRefiner:
             iters_per_epoch: int | None = None) -> mesh_mod.Mesh | None:
         cfg = self.cfg
         nmap = NeuralMap(dataset.dimensions, cfg, self.params, working_dir)
+        self.nmap = nmap
 
         vol_path = getattr(cfg.model, "sparse_volume_path", None)
         if vol_path:
@@ -48,11 +49,25 @@ class FusionRefiner:
         if tsdf_path:
             log.info(f"loading tsdf prior {tsdf_path}")
             metric = np.load(tsdf_path)
+            dst_shape = nmap.tsdf_vol.sdf.shape
+            if metric.shape != dst_shape:
+                # Resample a prior saved at a different resolution onto the
+                # volume grid, matching the reference's trilinear resize
+                # (fusion_refiner.py:105-114, F.interpolate align_corners=True:
+                # src index = dst index * (S-1)/(D-1) per axis).
+                log.info(f"resampling tsdf prior {metric.shape} -> {dst_shape}")
+                from bnv_fusion_tpu import voxel as vx
+                src_per_dst = (
+                    (np.asarray(metric.shape, np.float64) - 1.0)
+                    / np.maximum(np.asarray(dst_shape, np.float64) - 1.0, 1.0))
+                metric = np.asarray(vx.grid_transform(
+                    jnp.asarray(metric, jnp.float32),
+                    src_min=jnp.zeros(3, jnp.float32),
+                    src_voxel=jnp.ones(3, jnp.float32),
+                    dst_min=jnp.zeros(3, jnp.float32),
+                    dst_voxel=jnp.asarray(src_per_dst, jnp.float32),
+                    dst_shape=dst_shape))
             normalized = metric / (nmap.tsdf_voxel_size * 5.0)
-            if normalized.shape != nmap.tsdf_vol.sdf.shape:
-                raise ValueError(
-                    f"tsdf prior shape {normalized.shape} != volume "
-                    f"{nmap.tsdf_vol.sdf.shape}")
             nmap.tsdf_vol = nmap.tsdf_vol.replace(
                 sdf=jnp.asarray(normalized, jnp.float32),
                 weight=jnp.ones_like(nmap.tsdf_vol.weight))

@@ -56,6 +56,22 @@ def test_normals_tilted_plane():
     np.testing.assert_allclose(inner.mean(0), expected, atol=2e-2)
 
 
+def test_normals_no_border_wrap():
+    # a plane tilted along x: a wrap-around difference at columns 0 / W-1
+    # would mix opposite image edges (large depth jump) and corrupt border
+    # normals; with one-sided differences every pixel matches the interior.
+    intr = _intr(fx=100, fy=100, cx=50, cy=50)
+    u = np.arange(100, dtype=np.float32)
+    denom = 1.0 - 0.2 * (u[None, :] - 50) / 100
+    depth = jnp.asarray(np.repeat(1.0 / denom, 100, axis=0).astype(np.float32))
+    n = np.asarray(geo.normals_from_depth(depth, intr))
+    expected = np.array([0.2, 0.0, -1.0])
+    expected = expected / np.linalg.norm(expected)
+    for border in (n[0], n[-1], n[:, 0], n[:, -1]):
+        np.testing.assert_allclose(border, np.broadcast_to(expected, border.shape),
+                                   atol=5e-2)
+
+
 def test_camera_rays_identity_pose():
     intr = _intr()
     uv = jnp.asarray(np.array([[320.0, 240.0], [820.0, 240.0]], np.float32))

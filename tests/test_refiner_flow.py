@@ -53,22 +53,30 @@ def test_fuse_save_refine_roundtrip(cfg, pretrained_tcnn_path, tmp_path):
     assert os.path.exists(str(tmp_path / "refine" / "refined_sparse_volume.npz"))
 
 
-def test_refiner_rejects_mismatched_tsdf(cfg, pretrained_tcnn_path, tmp_path):
-    import numpy as np
-
+def test_refiner_resamples_mismatched_tsdf(cfg, pretrained_tcnn_path, tmp_path):
+    """A prior saved at a different resolution is trilinearly resampled onto
+    the volume grid (reference fusion_refiner.py:105-114, align_corners=True)
+    instead of rejected.  A linear ramp resamples to an exact linear ramp."""
     params = load_pretrained(pretrained_tcnn_path)
     from bnv_fusion_tpu.datasets import get_dataset
 
     ds = get_dataset(cfg, "test")
-    bad = str(tmp_path / "bad_tsdf.npy")
-    np.save(bad, np.zeros((3, 3, 3), np.float32))
+    src = (np.arange(5, dtype=np.float32)[:, None, None]
+           * np.ones((5, 7, 9), np.float32))
+    coarse = str(tmp_path / "coarse_tsdf.npy")
+    np.save(coarse, src)
     cfg2 = load_config([
         "model=fusion_refiner_model", "model.voxel_size=0.05",
         "model.table_capacity=131072", "dataset.num_images=2",
         "dataset.img_res=[120,160]", "dataset.num_pixels=512",
         "model.train_ray_splits=256",
-        f"model.tsdf_prior_path={bad}",
+        f"model.tsdf_prior_path={coarse}",
     ])
     refiner = FusionRefiner(cfg2, params)
-    with pytest.raises(ValueError):
-        refiner.run(ds, str(tmp_path / "r2"), n_epochs=1, iters_per_epoch=1)
+    refiner.run(ds, str(tmp_path / "r2"), n_epochs=1, iters_per_epoch=1)
+    vol = refiner.nmap.tsdf_vol
+    metric = np.asarray(vol.sdf) * (refiner.nmap.tsdf_voxel_size * 5.0)
+    dx = metric.shape[0]
+    expect = np.arange(dx) * (5 - 1) / (dx - 1)
+    np.testing.assert_allclose(metric[:, 1, 1], expect, atol=1e-4)
+    assert not np.isnan(metric).any()
