@@ -38,7 +38,8 @@ class OptimState(NamedTuple):
 
 def build_rays_from_frame(key, depth: jnp.ndarray, T_wc: jnp.ndarray,
                           intr: jnp.ndarray, max_depth: float,
-                          n_rays: int, neighbor_kernel: int = 3
+                          n_rays: int, neighbor_kernel: int = 3,
+                          pixel_ids: jnp.ndarray | None = None
                           ) -> render.Rays:
     """Device-side ray sampling from one raw depth frame.
 
@@ -54,7 +55,10 @@ def build_rays_from_frame(key, depth: jnp.ndarray, T_wc: jnp.ndarray,
     xyz_w = geometry.transform_points(T_wc, xyz_cam.reshape(-1, 3))
     xyz_map_w = xyz_w.reshape(h, w, 3)
 
-    idx = jax.random.choice(key, h * w, shape=(n_rays,), replace=False)
+    if pixel_ids is None:
+        idx = jax.random.choice(key, h * w, shape=(n_rays,), replace=False)
+    else:
+        idx = pixel_ids  # error-guided sampler supplies the pixels
     uv = jnp.stack([(idx % w).astype(jnp.float32),
                     (idx // w).astype(jnp.float32)], axis=-1)
     gt_pts = xyz_w[idx]
@@ -73,13 +77,21 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
                        truncated_dist: float, ray_max_dist: float,
                        n_rays: int, train_ray_splits: int,
                        lr: float = 1e-3, compute_dtype=jnp.float32,
-                       neighbor_kernel: int = 3):
+                       neighbor_kernel: int = 3,
+                       error_guided: bool = False):
     """Build (optimizer, jitted step).
 
     step(state, table, frame depth/T_wc/intr, bound_min, n_xyz, sdf_delta,
     key) -> (state, loss): samples ``n_rays`` rays from the frame, scans over
     ``n_rays // train_ray_splits`` chunks accumulating latent gradients and
     weight bumps, then applies one Adam update (reference run_e2e.py:119-156).
+
+    With ``error_guided`` (model.error_guided_sampling; rebuilds the
+    reference's SampleManager, src/datasets/sampler.py:7-94, which the
+    reference imports but never enables) the step takes the frame's patch
+    error map as an extra trailing argument, draws half the rays from an
+    error-weighted multinomial via sampler.sample_pixels, and returns the
+    refreshed map: (state, loss, error_map).
     """
     if n_rays % train_ray_splits:
         raise ValueError("n_rays must be a multiple of train_ray_splits")
@@ -89,22 +101,29 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
     def chunk_loss(features, weights, table, chunk: render.Rays, key,
                    bound_min, n_xyz, sdf_delta):
         t = table.replace(weights=weights)
-        loss, corners = render.calculate_loss(
+        loss, aux = render.calculate_loss(
             features, t, params, chunk, key, bound_min, voxel_size,
             min_pts_in_grid, truncated_units, truncated_dist, ray_max_dist,
-            sdf_delta, n_xyz, compute_dtype)
-        return loss, corners
+            sdf_delta, n_xyz, compute_dtype, per_ray=error_guided)
+        return loss, aux
 
     grad_fn = jax.value_and_grad(chunk_loss, argnums=0, has_aux=True)
 
     def step(state: OptimState, table: tbl.AnyTable,
              depth: jnp.ndarray, T_wc: jnp.ndarray, intr: jnp.ndarray,
              bound_min: jnp.ndarray, n_xyz: jnp.ndarray,
-             sdf_delta: jnp.ndarray | None, key) -> Tuple[OptimState, jnp.ndarray]:
+             sdf_delta: jnp.ndarray | None, key,
+             error_map: jnp.ndarray | None = None):
         k_rays, k_chunks = jax.random.split(key)
+        pixel_ids = None
+        if error_guided:
+            from bnv_fusion_tpu import sampler
+            pixel_ids = sampler.sample_pixels(
+                k_rays, error_map, depth.shape, n_rays)
         rays = build_rays_from_frame(k_rays, depth, T_wc, intr,
                                      ray_max_dist, n_rays,
-                                     neighbor_kernel=neighbor_kernel)
+                                     neighbor_kernel=neighbor_kernel,
+                                     pixel_ids=pixel_ids)
 
         def reshape(x):
             return x.reshape((n_chunks, train_ray_splits) + x.shape[1:])
@@ -123,16 +142,18 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
                 uv=chunk_data[0], gt_pts=chunk_data[1], mask=chunk_data[2],
                 neighbor_pts=chunk_data[3], neighbor_masks=chunk_data[4],
                 T_wc=rays.T_wc, intr=rays.intr)
-            (loss, corners), g = grad_fn(
+            (loss, aux), g = grad_fn(
                 state.features, weights, table, chunk, k, bound_min, n_xyz,
                 sdf_delta)
+            corners = aux[0] if error_guided else aux
             # count_optim: +1 on voxels touched by this chunk's samples
             t = table.replace(weights=weights)
             weights = fusion.bump_optim_weights(t, corners).weights
-            return (grad_acc + g, weights), loss
+            ys = (loss, aux[1]) if error_guided else loss
+            return (grad_acc + g, weights), ys
 
         init = (jnp.zeros_like(state.features), state.weights)
-        (grads, weights), losses = jax.lax.scan(
+        (grads, weights), ys = jax.lax.scan(
             scan_body,
             init,
             ((chunked.uv, chunked.gt_pts, chunked.mask,
@@ -142,22 +163,40 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
         features = optax.apply_updates(state.features, updates)
         new_state = OptimState(features=features, weights=weights,
                                opt_state=opt_state)
-        return new_state, jnp.mean(losses)
+        if error_guided:
+            from bnv_fusion_tpu import sampler
+            losses, ray_errs = ys
+            new_map = sampler.update_error_map(
+                error_map, depth.shape, pixel_ids, ray_errs.reshape(-1))
+            return new_state, jnp.mean(losses), new_map
+        return new_state, jnp.mean(ys)
 
     def multi_step(state: OptimState, table: tbl.AnyTable,
                    depths: jnp.ndarray, T_wcs: jnp.ndarray,
                    intrs: jnp.ndarray, bound_min: jnp.ndarray,
-                   n_xyz: jnp.ndarray, sdf_delta: jnp.ndarray | None, keys):
+                   n_xyz: jnp.ndarray, sdf_delta: jnp.ndarray | None, keys,
+                   error_maps: jnp.ndarray | None = None):
         """Several Adam iterations (one random frame each) in ONE device
         launch — amortizes the tunneled runtime's per-dispatch overhead
         (~64 ms) over the iterations.  Semantics identical to calling
         ``step`` sequentially."""
         def body(st, inp):
+            if error_guided:
+                depth, T_wc, intr, key, emap = inp
+                st, loss, emap = step(st, table, depth, T_wc, intr, bound_min,
+                                      n_xyz, sdf_delta, key, emap)
+                return st, (loss, emap)
             depth, T_wc, intr, key = inp
             return step(st, table, depth, T_wc, intr, bound_min, n_xyz,
                         sdf_delta, key)
 
-        return jax.lax.scan(body, state, (depths, T_wcs, intrs, keys))
+        xs = ((depths, T_wcs, intrs, keys, error_maps) if error_guided
+              else (depths, T_wcs, intrs, keys))
+        state, ys = jax.lax.scan(body, state, xs)
+        if error_guided:
+            losses, emaps = ys
+            return state, losses, emaps
+        return state, ys
 
     return opt, jax.jit(step, donate_argnums=(0,)), \
         jax.jit(multi_step, donate_argnums=(0,))

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bnv_fusion_tpu import checkpoint as ckpt_io
-from bnv_fusion_tpu import fusion, geometry, mesh as mesh_mod, optimize, tsdf
+from bnv_fusion_tpu import fusion, geometry, mesh as mesh_mod, optimize, sampler, tsdf
 from bnv_fusion_tpu import tables as tbl
 from bnv_fusion_tpu import voxel as vx
 
@@ -223,6 +223,8 @@ class NeuralMap:
         (reference run_e2e.py:111-162)."""
         if not self.frames:
             return
+        error_guided = bool(getattr(self.config.model,
+                                    "error_guided_sampling", False))
         if getattr(self, "_optim_lr", None) != lr:
             self._optim_step = None  # lr is baked into the jitted step
             self._optim_lr = lr
@@ -234,7 +236,8 @@ class NeuralMap:
                     self.ray_max_dist, n_rays=self.sampling_size,
                     train_ray_splits=self.train_ray_splits, lr=lr,
                     neighbor_kernel=int(getattr(self.config.model,
-                                                "neighbor_kernel", 3)))
+                                                "neighbor_kernel", 3)),
+                    error_guided=error_guided)
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
@@ -242,6 +245,16 @@ class NeuralMap:
 
         lo = 0 if last_frame < 0 else max(0, last_frame)
         frame_pool = self.frames[lo:]
+        if error_guided and getattr(self, "_error_maps", None) is None:
+            self._error_maps = {}
+
+        def frame_error_map(global_i, depth_shape):
+            if global_i not in self._error_maps:
+                patch = int(getattr(self.config.model, "error_patch", 16))
+                self._error_maps[global_i] = sampler.create_error_maps(
+                    1, depth_shape, patch)[0]
+            return self._error_maps[global_i]
+
         # group iterations per device launch (amortizes dispatch overhead)
         group = int(getattr(self.config.model, "optim_iters_per_launch", 4))
         rng = np.random.RandomState(
@@ -256,15 +269,33 @@ class NeuralMap:
             intrs = jnp.stack([frame_pool[i]["intr"] for i in fis])
             self._rng_key, k_step = jax.random.split(self._rng_key)
             keys = jax.random.split(k_step, k)
+            if error_guided:
+                emaps = jnp.stack([
+                    frame_error_map(lo + i, frame_pool[i]["depth"].shape)
+                    for i in fis])
             if k == group:
-                state, losses = self._optim_multi(
-                    state, self.table, depths, T_wcs, intrs,
-                    self.bound_min, self.n_xyz, sdf_delta, keys)
+                if error_guided:
+                    state, losses, new_maps = self._optim_multi(
+                        state, self.table, depths, T_wcs, intrs,
+                        self.bound_min, self.n_xyz, sdf_delta, keys, emaps)
+                    for j, i in enumerate(fis):
+                        self._error_maps[lo + i] = new_maps[j]
+                else:
+                    state, losses = self._optim_multi(
+                        state, self.table, depths, T_wcs, intrs,
+                        self.bound_min, self.n_xyz, sdf_delta, keys)
             else:  # remainder: per-iteration launches (no extra compiles)
                 for j in range(k):
-                    state, _ = self._optim_step(
-                        state, self.table, depths[j], T_wcs[j], intrs[j],
-                        self.bound_min, self.n_xyz, sdf_delta, keys[j])
+                    if error_guided:
+                        state, _, new_map = self._optim_step(
+                            state, self.table, depths[j], T_wcs[j], intrs[j],
+                            self.bound_min, self.n_xyz, sdf_delta, keys[j],
+                            emaps[j])
+                        self._error_maps[lo + fis[j]] = new_map
+                    else:
+                        state, _ = self._optim_step(
+                            state, self.table, depths[j], T_wcs[j], intrs[j],
+                            self.bound_min, self.n_xyz, sdf_delta, keys[j])
             done += k
         # write optimized features (and bumped weights) back into the map
         self.table = self.table.replace(features=state.features,

@@ -155,10 +155,14 @@ def render_rays_sdf(features: jnp.ndarray, table: tbl.AnyTable,
 
 
 def compute_sdf_loss(rays: Rays, pred_sdf: jnp.ndarray, pred_pts: jnp.ndarray,
-                     cam_loc: jnp.ndarray, truncated_dist: float
-                     ) -> jnp.ndarray:
+                     cam_loc: jnp.ndarray, truncated_dist: float,
+                     per_ray: bool = False):
     """Neighborhood-corrected truncated L1 SDF loss
-    (reference render_utils.compute_sdf_loss:508-549)."""
+    (reference render_utils.compute_sdf_loss:508-549).
+
+    With ``per_ray`` also returns the per-ray summed error [N] (used by the
+    error-guided sampler to refresh its patch error maps, reference
+    src/datasets/sampler.py:44-68)."""
     gt_depths = jnp.linalg.norm(rays.gt_pts - cam_loc[None, :],
                                 axis=-1, keepdims=True)       # [N, 1]
     depths = jnp.linalg.norm(pred_pts - cam_loc[None, None, :], axis=-1)  # [N,S]
@@ -176,7 +180,11 @@ def compute_sdf_loss(rays: Rays, pred_sdf: jnp.ndarray, pred_pts: jnp.ndarray,
 
     num_valid = jnp.sum(rays.mask) + 1e-4
     l1 = jnp.abs(pred_sdf - gt_nearest_signed) * valid_map
-    return jnp.sum(l1 * rays.mask[:, None]) / num_valid
+    ray_err = jnp.sum(l1, axis=-1) * rays.mask
+    loss = jnp.sum(ray_err) / num_valid
+    if per_ray:
+        return loss, ray_err
+    return loss
 
 
 def calculate_loss(features: jnp.ndarray, table: tbl.AnyTable,
@@ -185,12 +193,17 @@ def calculate_loss(features: jnp.ndarray, table: tbl.AnyTable,
                    min_pts_in_grid: int, truncated_units: int,
                    truncated_dist: float, ray_max_dist: float,
                    sdf_delta: jnp.ndarray | None, n_xyz: jnp.ndarray,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, per_ray: bool = False):
     """Loss for one ray chunk + the corner coords to weight-bump
-    (reference render_utils.calculate_loss:551-594)."""
+    (reference render_utils.calculate_loss:551-594).  With ``per_ray`` the
+    aux is (corners, per-ray errors)."""
     pred_sdf, pts, cam_loc, corners = render_rays_sdf(
         features, table, params, rays, key, bound_min, voxel_size,
         min_pts_in_grid, truncated_units, truncated_dist, ray_max_dist,
         sdf_delta, n_xyz, compute_dtype)
+    if per_ray:
+        loss, ray_err = compute_sdf_loss(rays, pred_sdf, pts, cam_loc,
+                                         truncated_dist, per_ray=True)
+        return loss, (corners, ray_err)
     loss = compute_sdf_loss(rays, pred_sdf, pts, cam_loc, truncated_dist)
     return loss, corners
