@@ -93,6 +93,79 @@ def test_generate_fusion_data_scene3d(tmp_path):
     np.testing.assert_allclose(T0, np.eye(4), atol=1e-5)
 
 
+def test_chained_cli_pipeline(tmp_path, pretrained_tcnn_path):
+    """The full user-facing CLI chain (reference SURVEY §3.1 call stack):
+    raw scene3d layout -> generate_fusion_data -> canonical reader ->
+    run_e2e (fuse + optimize + mesh) -> evaluate_bnvf F-score floor."""
+    import cv2
+
+    from bnv_fusion_tpu.run_e2e import main as e2e_main
+    from bnv_fusion_tpu.scripts.evaluate_bnvf import main as eval_main
+    from bnv_fusion_tpu.scripts.generate_fusion_data import (
+        SCENE3D_INTR, main as gen_main)
+    from bnv_fusion_tpu.datasets.synth_scene import (look_at_pose,
+                                                     render_depth)
+
+    scene = SceneSpec(spheres=[SphereObj(np.zeros(3, np.float32), 0.5)])
+    gt = gt_mesh(scene, bounds=0.7, resolution=96)
+    gt_path = str(tmp_path / "gt.ply")
+    save_ply(gt_path, gt)
+
+    # raw scene3d layout with exact ray-traced depth at the converter's
+    # hardcoded 480x640 intrinsics
+    raw = tmp_path / "raw" / "chain"
+    (raw / "chain_png" / "color").mkdir(parents=True)
+    (raw / "chain_png" / "depth").mkdir(parents=True)
+    save_ply(str(raw / "chain.ply"), gt)
+    n = 10
+    poses = []
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        z = 0.55 if i % 2 == 0 else -0.55
+        eye = np.array([1.5 * np.cos(ang), 1.5 * np.sin(ang), z])
+        poses.append(look_at_pose(eye, np.zeros(3)))
+    with open(raw / "chain_trajectory.log", "w") as f:
+        for i, T in enumerate(poses):
+            f.write(f"{i} {i} {i}\n")
+            for row in T:
+                f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+    for i, T in enumerate(poses):
+        depth = render_depth(scene, T, SCENE3D_INTR.astype(np.float32),
+                             (480, 640))
+        cv2.imwrite(str(raw / "chain_png" / "depth" / f"{i:06d}.png"),
+                    (depth * 1000).astype(np.uint16))
+        cv2.imwrite(str(raw / "chain_png" / "color" / f"{i:06d}.png"),
+                    np.zeros((480, 640, 3), np.uint8))
+
+    canon = tmp_path / "canon"
+    assert gen_main(["scene3d", "--root", str(tmp_path / "raw"),
+                     "--out", str(canon), "--seqs", "chain"]) == 0
+
+    out_dir = tmp_path / "out"
+    assert e2e_main([
+        "dataset=fusion_inference_dataset",
+        f"data_dir={canon}",
+        "dataset.scan_id=chain",
+        "dataset.skip_images=1",
+        "dataset.downsample_scale=0.25",   # 480x640 -> 120x160 on CPU
+        "dataset.num_pixels=1024",
+        "model.train_ray_splits=256",
+        "model.voxel_size=0.04",
+        "model.min_pts_in_grid=4",
+        "model.table_capacity=262144",
+        f"trainer.checkpoint={pretrained_tcnn_path}",
+        f"output_dir={out_dir}",
+    ]) == 0
+    final = str(out_dir / "run_e2e" / "chain" / "final.ply")
+    assert os.path.exists(final)
+
+    json_out = str(tmp_path / "chain_eval.json")
+    assert eval_main(["--pred", final, "--gt", gt_path,
+                      "--n_samples", "20000", "--json_out", json_out]) == 0
+    (res,) = json.load(open(json_out)).values()
+    assert res["@0.025"]["fscore"] > 0.5, res
+
+
 def test_run_inference_operating_points():
     from bnv_fusion_tpu.scripts.run_inference import OPERATING_POINTS
 
