@@ -85,12 +85,15 @@ def fuse_frame(table: tbl.AnyTable, params: Dict[str, Any],
     Fixed shapes: [N] points with a validity mask (padding allowed).  Safe to
     jit with ``voxel_size``/``min_pts_in_grid`` static.
 
-    Dense tables take the sort-reduce fast path (fuse_frame_sorted); the
-    open-addressing fallback uses capacity-sized scatter accumulators.
+    Slot-map tables (dense, block-sparse) take the sort-reduce fast path
+    (fuse_frame_sorted); the open-addressing fallback uses capacity-sized
+    scatter accumulators.
     """
+    from bnv_fusion_tpu import table_blocks as _blocks
     from bnv_fusion_tpu import table_dense as _dense
 
-    if isinstance(table, _dense.DenseIndexedTable):
+    if isinstance(table, (_dense.DenseIndexedTable,
+                          _blocks.BlockIndexedTable)):
         return fuse_frame_sorted(table, params, pts_w, normals, valid,
                                  bound_min, bound_max, voxel_size,
                                  min_pts_in_grid, compute_dtype, max_unique)
@@ -162,13 +165,14 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
     identical to the scatter path (same mean, clipping and min-pts masking —
     cross-checked against the numpy oracle in tests).
     """
-    from bnv_fusion_tpu import table_dense as _dense
-
     n = pts_w.shape[0]
     m = n * 8
     fdim = table.feat_dims
     n_xyz = table.n_xyz
-    n_vox = table.slot_map.shape[0]
+    # static voxel count: dense tables = slot-map length; block tables carry
+    # it explicitly (their map lives at block granularity)
+    n_vox = (table.n_voxels if hasattr(table, "n_voxels")
+             else table.slot_map.shape[0])
 
     corners, feats, valid8 = encode_corner_features(
         params, pts_w, normals, valid, bound_min, bound_max, voxel_size,
@@ -229,7 +233,7 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
                        0.0)
     sum_u = cum[end_pos] - cum_lo + ch_mean * cnt_u[:, None]  # [U, F]
 
-    table, slots, ok = _dense.insert_unique_flat(
+    table, slots, ok = tbl.insert_unique_flat(
         table, jnp.where(umask, flat_u, -1), umask)
     dropped = jnp.maximum(n_unique - u, 0)
 
