@@ -78,22 +78,32 @@ def fuse_frame(table: tbl.AnyTable, params: Dict[str, Any],
                bound_min: jnp.ndarray, bound_max: jnp.ndarray,
                voxel_size: float, min_pts_in_grid: int,
                compute_dtype=jnp.float32,
-               max_unique: int = 1 << 19
+               max_unique: int = 1 << 19,
+               algorithm: str = "cell",
+               max_unique_cells: int | None = None,
                ) -> Tuple[tbl.AnyTable, FrameStats]:
     """Integrate one frame's oriented point cloud into the sparse volume.
 
     Fixed shapes: [N] points with a validity mask (padding allowed).  Safe to
     jit with ``voxel_size``/``min_pts_in_grid`` static.
 
-    Slot-map tables (dense, block-sparse) take the sort-reduce fast path
-    (fuse_frame_sorted); the open-addressing fallback uses capacity-sized
-    scatter accumulators.
+    Slot-map tables (dense, block-sparse) take a sort-reduce fast path —
+    ``algorithm="cell"`` (default) the two-stage cell-keyed sort
+    (fuse_frame_cellsort, ~2x less sort traffic), ``"corner"`` the one-stage
+    corner-keyed sort (fuse_frame_sorted); both produce identical fused
+    tables.  The open-addressing fallback uses capacity-sized scatter
+    accumulators.
     """
     from bnv_fusion_tpu import table_blocks as _blocks
     from bnv_fusion_tpu import table_dense as _dense
 
     if isinstance(table, (_dense.DenseIndexedTable,
                           _blocks.BlockIndexedTable)):
+        if algorithm == "cell":
+            return fuse_frame_cellsort(table, params, pts_w, normals, valid,
+                                       bound_min, bound_max, voxel_size,
+                                       min_pts_in_grid, compute_dtype,
+                                       max_unique, max_unique_cells)
         return fuse_frame_sorted(table, params, pts_w, normals, valid,
                                  bound_min, bound_max, voxel_size,
                                  min_pts_in_grid, compute_dtype, max_unique)
@@ -233,6 +243,24 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
                        0.0)
     sum_u = cum[end_pos] - cum_lo + ch_mean * cnt_u[:, None]  # [U, F]
 
+    table, stats = _integrate_unique(table, flat_u, cnt_u, sum_u, umask,
+                                     n_unique, u, min_pts_in_grid)
+    stats = stats._replace(
+        # count points that survived the bound mask (actually fused)
+        n_valid_pts=jnp.sum(valid8[:, 0].astype(jnp.float32)))
+    return table, stats
+
+
+def _integrate_unique(table, flat_u, cnt_u, sum_u, umask, n_unique, u,
+                      min_pts_in_grid, extra_overflow=0):
+    """Shared fuse tail: insert deduplicated voxels + running-mean update.
+
+    ``flat_u``/``cnt_u``/``sum_u`` are per-UNIQUE-voxel flat ids, point
+    counts and feature sums (padded to static width ``u``, live prefix
+    flagged by ``umask``).  Applies the reference's _integrate semantics
+    (local_point_fusion.py:647-673): weight = clip(count/32, 1), running
+    weighted mean, voxels under min_pts dropped.
+    """
     table, slots, ok = tbl.insert_unique_flat(
         table, jnp.where(umask, flat_u, -1), umask)
     dropped = jnp.maximum(n_unique - u, 0)
@@ -259,15 +287,164 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
                                            unique_indices=True)
     table = table.replace(
         features=features, weights=weights, num_hits=num_hits,
-        overflow=table.overflow + dropped.astype(jnp.int32))
+        overflow=table.overflow + dropped.astype(jnp.int32) + extra_overflow)
 
     nf = jnp.maximum(n_unique.astype(jnp.float32), 1.0)
     stats = FrameStats(
         n_avg_pts=jnp.sum(jnp.where(umask, cnt_u, 0.0)) / nf,
         n_touched=n_unique.astype(jnp.float32),
-        # count points that survived the bound mask (actually fused)
-        n_valid_pts=jnp.sum(valid8[:, 0].astype(jnp.float32)),
+        n_valid_pts=jnp.zeros(()),  # callers fill in
     )
+    return table, stats
+
+
+def fuse_frame_cellsort(table, params: Dict[str, Any],
+                        pts_w: jnp.ndarray, normals: jnp.ndarray,
+                        valid: jnp.ndarray, bound_min: jnp.ndarray,
+                        bound_max: jnp.ndarray, voxel_size: float,
+                        min_pts_in_grid: int, compute_dtype=jnp.float32,
+                        max_unique: int = 1 << 17,
+                        max_unique_cells: int | None = None):
+    """Two-stage sort-reduce fusion keyed by the point's CONTAINING CELL.
+
+    The 9-operand sort over all 8N (corner, feature) entries dominates
+    fuse_frame_sorted (~17 ms at 2.4M rows on v5e).  But the 8 corner ids of
+    a point are a function of its cell alone, so grouping can happen BEFORE
+    corner expansion:
+
+      stage 1: sort the N points by (containing cell, floor/ceil degeneracy
+        code) — 2 int keys + 6 float payload at N rows, ~9x less sort traffic
+        than the corner sort.  Encode AFTER the sort (same inputs row-wise,
+        so features are bit-identical), then one segmented scan over [N, 8F]
+        yields per-cell-group sums of all 8 corner features at once.
+      stage 2: each unique cell group scatters into its 8 corner voxel ids
+        (cell + pattern * degeneracy, matching voxel.corner_neighbors'
+        floor/ceil collapse); one sort over 8*U_cells partial rows merges
+        contributions across cells, a second segmented scan totals them.
+
+    Counts ride int32 cumsums (exact); feature sums use the same mean-
+    centered float trick as fuse_frame_sorted.  The tail (insert + running
+    mean + min-pts masking) is shared, so semantics match the numpy oracle
+    of the reference update (local_point_fusion.py:81-151,647-673).
+    """
+    n = pts_w.shape[0]
+    fdim = table.feat_dims
+    n_xyz = table.n_xyz
+    n_vox = (table.n_voxels if hasattr(table, "n_voxels")
+             else table.slot_map.shape[0])
+    u_cell = min(max_unique_cells if max_unique_cells else max_unique, n)
+
+    inside = jnp.all((pts_w > bound_min + voxel_size) &
+                     (pts_w < bound_max - voxel_size), axis=-1) & valid
+    coords = voxel.position_to_coords(pts_w, bound_min, voxel_size)  # [N,3]
+    fl = jnp.floor(coords)
+    mi = (jnp.ceil(coords) > fl).astype(jnp.int32)   # per-axis ceil!=floor
+    fi = fl.astype(jnp.int32)
+    # all 8 corners in-grid: implied by the bound mask (coords land in
+    # [1, n_xyz-1)); kept explicit for parity with the per-corner check
+    inside = inside & jnp.all(fi >= 0, axis=-1) & \
+        jnp.all(fi + mi < n_xyz, axis=-1)
+    s0 = n_xyz[1] * n_xyz[2]
+    s1 = n_xyz[2]
+    cell = fi[:, 0] * s0 + fi[:, 1] * s1 + fi[:, 2]
+    mcode = mi[:, 0] * 4 + mi[:, 1] * 2 + mi[:, 2]
+    cell = jnp.where(inside, cell, n_vox)     # invalid entries sort last
+    mcode = jnp.where(inside, mcode, 8)
+    # zero invalid payloads: NaN depth must not ride into the encoder/scans
+    coords_z = jnp.where(inside[:, None], coords, 0.0)
+    normals_z = jnp.where(inside[:, None], normals, 0.0)
+
+    ops = jax.lax.sort(
+        (cell, mcode, coords_z[:, 0], coords_z[:, 1], coords_z[:, 2],
+         normals_z[:, 0], normals_z[:, 1], normals_z[:, 2]), num_keys=2)
+    cell_s, mcode_s = ops[0], ops[1]
+    coords_s = jnp.stack(ops[2:5], axis=-1)
+    normals_s = jnp.stack(ops[5:8], axis=-1)
+    entry_valid = cell_s < n_vox
+
+    corners_s = voxel.corner_neighbors(coords_s)       # [N,8,3]
+    rel = voxel.local_offsets(coords_s, corners_s)     # [N,8,3]
+    pn_in = jnp.concatenate(
+        [rel, jnp.broadcast_to(normals_s[:, None, :], rel.shape)], axis=-1)
+    feats = bnn.encoder_apply(params, pn_in, compute_dtype)  # [N,8,F]
+    f8 = jnp.where(entry_valid[:, None, None], feats,
+                   0.0).astype(jnp.float32).reshape(n, 8 * fdim)
+
+    prev_c = jnp.concatenate([jnp.full((1,), -1, cell_s.dtype), cell_s[:-1]])
+    prev_m = jnp.concatenate([jnp.full((1,), -1, mcode_s.dtype),
+                              mcode_s[:-1]])
+    boundary = (cell_s != prev_c) | (mcode_s != prev_m)
+    ch_mean = jnp.mean(f8, axis=0, keepdims=True)
+    cum = jnp.cumsum(f8 - ch_mean, axis=0)             # [N, 8F]
+    nxt = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
+    is_end = nxt & entry_valid
+    n_groups = jnp.sum(is_end).astype(jnp.int32)
+
+    idx_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    end_pos = jax.lax.sort(jnp.where(is_end, idx_n, n))[:u_cell]
+    end_pos = jnp.minimum(end_pos, n - 1)
+    gmask = jnp.arange(u_cell) < jnp.minimum(n_groups, u_cell)
+    prev_end = jnp.concatenate(
+        [jnp.full((1,), -1, end_pos.dtype), end_pos[:-1]])
+    cell_u = cell_s[end_pos]
+    mcode_u = mcode_s[end_pos]
+    gcnt = end_pos - prev_end                          # int32, exact
+    cum_lo = jnp.where((prev_end >= 0)[:, None],
+                       cum[jnp.maximum(prev_end, 0)], 0.0)
+    gsum = cum[end_pos] - cum_lo + \
+        ch_mean * gcnt.astype(jnp.float32)[:, None]    # [U_c, 8F]
+    cells_dropped = jnp.maximum(n_groups - u_cell, 0)
+
+    # ---- stage 2: merge per-cell partial sums into corner voxel totals ----
+    pattern = jnp.asarray(voxel._CORNER_PATTERN)       # [8,3]
+    moff = jnp.stack([(mcode_u >> 2) & 1, (mcode_u >> 1) & 1, mcode_u & 1],
+                     axis=-1)                          # [U_c,3]
+    offs = pattern[None, :, :] * moff[:, None, :]      # [U_c,8,3]
+    ckey = cell_u[:, None] + offs[..., 0] * s0 + offs[..., 1] * s1 + \
+        offs[..., 2]
+    ckey = jnp.where(gmask[:, None], ckey, n_vox)
+    m2 = u_cell * 8
+    ck = ckey.reshape(m2)
+    f2 = jnp.where(gmask[:, None, None], gsum.reshape(u_cell, 8, fdim),
+                   0.0).reshape(m2, fdim)
+    c2 = jnp.where(gmask[:, None], jnp.broadcast_to(gcnt[:, None],
+                                                    (u_cell, 8)),
+                   0).reshape(m2)                      # int32
+
+    ops2 = jax.lax.sort(
+        (ck,) + tuple(f2[:, j] for j in range(fdim)) + (c2,), num_keys=1)
+    ck_s = ops2[0]
+    f2_s = jnp.stack(ops2[1:1 + fdim], axis=-1)
+    c2_s = ops2[-1]
+
+    prev2 = jnp.concatenate([jnp.full((1,), -1, ck_s.dtype), ck_s[:-1]])
+    b2 = ck_s != prev2
+    ev2 = ck_s < n_vox
+    mean2 = jnp.mean(f2_s, axis=0, keepdims=True)
+    cum2 = jnp.cumsum(f2_s - mean2, axis=0)
+    ccum2 = jnp.cumsum(c2_s)                           # int32, exact
+    nxt2 = jnp.concatenate([b2[1:], jnp.ones((1,), bool)])
+    is_end2 = nxt2 & ev2
+    n_unique = jnp.sum(is_end2).astype(jnp.int32)
+
+    u = min(max_unique, m2)
+    idx2 = jax.lax.broadcasted_iota(jnp.int32, (m2, 1), 0)[:, 0]
+    end2 = jax.lax.sort(jnp.where(is_end2, idx2, m2))[:u]
+    end2 = jnp.minimum(end2, m2 - 1)
+    umask = jnp.arange(u) < jnp.minimum(n_unique, u)
+    pend2 = jnp.concatenate([jnp.full((1,), -1, end2.dtype), end2[:-1]])
+    flat_u = ck_s[end2]
+    seg_n = (end2 - pend2).astype(jnp.float32)
+    clo = jnp.where(pend2 >= 0, ccum2[jnp.maximum(pend2, 0)], 0)
+    cnt_u = (ccum2[end2] - clo).astype(jnp.float32)    # exact int totals
+    flo = jnp.where((pend2 >= 0)[:, None], cum2[jnp.maximum(pend2, 0)], 0.0)
+    sum_u = cum2[end2] - flo + mean2 * seg_n[:, None]
+
+    table, stats = _integrate_unique(
+        table, flat_u, cnt_u, sum_u, umask, n_unique, u, min_pts_in_grid,
+        extra_overflow=cells_dropped.astype(jnp.int32))
+    stats = stats._replace(
+        n_valid_pts=jnp.sum(inside.astype(jnp.float32)))
     return table, stats
 
 

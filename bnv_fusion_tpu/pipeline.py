@@ -77,8 +77,12 @@ class NeuralMap:
         self.table = tbl.create_table(self.feat_dims, capacity, n_xyz=n_xyz)
 
         self.tsdf_voxel_size = float(getattr(m, "tsdf_voxel_size", 0.025))
-        self.tsdf_vol, _ = tsdf.create_tsdf_volume(self.dimensions,
-                                                   self.tsdf_voxel_size)
+        # optional RGB fusion into the prior volume (reference frames are
+        # rgbd and third_parties/fusion.py fuses color; geometry is unaffected)
+        self.fuse_color = bool(getattr(m, "fuse_color", False))
+        self.tsdf_vol, _ = tsdf.create_tsdf_volume(
+            self.dimensions, self.tsdf_voxel_size,
+            with_color=self.fuse_color)
 
         self.frames: List[Dict[str, Any]] = []
         self._fuse_step = None
@@ -87,7 +91,8 @@ class NeuralMap:
         self._decode_jit = None
         self._rng_key = jax.random.key(int(getattr(config.trainer, "seed", 0)))
         self.timer = Timer(["local", "global"])
-        self.stats: List[float] = []
+        self._stats: List[float] = []
+        self._pending_stats: List[Any] = []
 
     # ------------------------------------------------------------------
     # local fusion
@@ -104,13 +109,22 @@ class NeuralMap:
         # touch 30-150k voxels; padded ops scale with this, so keep it tight.
         max_unique = int(getattr(self.config.model,
                                  "max_unique_per_frame", 1 << 17))
+        # cell-group compaction width of the cell-keyed fuse path (unique
+        # CELLS <= unique corner voxels, so a tighter width than max_unique
+        # shrinks the stage-2 merge sort; overflowing cells are counted)
+        mu_cells = getattr(self.config.model, "max_unique_cells_per_frame",
+                           None)
+        mu_cells = int(mu_cells) if mu_cells else None
         tsdf_vs = self.tsdf_voxel_size
         fuse_dtype = jnp.bfloat16 if str(getattr(
             self.config.model, "fuse_dtype", "float32")) == "bfloat16" \
             else jnp.float32
+        algorithm = str(getattr(self.config.model, "fuse_algorithm", "cell"))
+
+        fuse_color = self.fuse_color
 
         def body(table, tsdf_vol, params, depth, T_wc, intr,
-                 bound_min, bound_max):
+                 bound_min, bound_max, rgb=None):
             xyz_cam = geometry.depth_to_xyz(depth, intr)
             valid = (depth > 0).reshape(-1)
             normals_cam = geometry.normals_from_depth(depth, intr,
@@ -129,8 +143,10 @@ class NeuralMap:
             table, stats = fusion.fuse_frame(
                 table, params, pts_w, normals_w, valid, bound_min, bound_max,
                 vs, min_pts, compute_dtype=fuse_dtype,
-                max_unique=max_unique)
-            tsdf_vol = tsdf.integrate(tsdf_vol, depth, intr, T_wc, tsdf_vs)
+                max_unique=max_unique, algorithm=algorithm,
+                max_unique_cells=mu_cells)
+            tsdf_vol = tsdf.integrate(tsdf_vol, depth, intr, T_wc, tsdf_vs,
+                                      rgb=rgb if fuse_color else None)
             return table, tsdf_vol, stats
 
         return body
@@ -144,17 +160,20 @@ class NeuralMap:
 
         @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
         def step(table, tsdf_vol, params, depths, T_wcs, intrs,
-                 bound_min, bound_max):
+                 bound_min, bound_max, rgbs=None):
             def body(carry, frame):
                 table, tsdf_vol = carry
-                depth, T_wc, intr = frame
+                depth, T_wc, intr = frame[0], frame[1], frame[2]
+                rgb = frame[3] if len(frame) > 3 else None
                 table, tsdf_vol, stats = single(
                     table, tsdf_vol, params, depth, T_wc, intr,
-                    bound_min, bound_max)
+                    bound_min, bound_max, rgb=rgb)
                 return (table, tsdf_vol), stats
 
+            xs = (depths, T_wcs, intrs) if rgbs is None else \
+                (depths, T_wcs, intrs, rgbs)
             (table, tsdf_vol), stats = jax.lax.scan(
-                body, (table, tsdf_vol), (depths, T_wcs, intrs))
+                body, (table, tsdf_vol), xs)
             return table, tsdf_vol, stats
 
         return step
@@ -180,16 +199,23 @@ class NeuralMap:
                 if not np.any(np.isnan(np.asarray(f["T_wc"])))]
         if not keep:
             return
-        depths = jnp.stack([jnp.asarray(f["depth"], jnp.float32)
-                            for f in keep])
-        T_wcs = jnp.stack([jnp.asarray(f["T_wc"], jnp.float32)
-                           for f in keep])
-        intrs = jnp.stack([jnp.asarray(f["intr_mat"], jnp.float32)
-                           for f in keep])
+        depths = jnp.asarray(np.stack(
+            [np.asarray(f["depth"], np.float32) for f in keep]))
+        T_wcs = jnp.asarray(np.stack(
+            [np.asarray(f["T_wc"], np.float32) for f in keep]))
+        intrs = jnp.asarray(np.stack(
+            [np.asarray(f["intr_mat"], np.float32) for f in keep]))
+        rgbs = None
+        if self.fuse_color:
+            rgbs = jnp.asarray(np.stack(
+                [self._frame_rgb(f) for f in keep]))
         self.table, self.tsdf_vol, stats = self._fuse_batch_steps[key](
             self.table, self.tsdf_vol, self.params, depths, T_wcs, intrs,
-            self.bound_min, self.bound_max)
-        self.stats.extend(np.asarray(stats.n_avg_pts).tolist())
+            self.bound_min, self.bound_max, rgbs)
+        # keep the DEVICE array: fetching it here would synchronize the
+        # dispatch pipeline every launch (~12 ms/frame measured on the
+        # tunneled runtime); consumers read ``stats`` lazily at end of run
+        self._pending_stats.append(stats.n_avg_pts)
         for f, d, t, i in zip(keep, depths, T_wcs, intrs):
             self.frames.append({"depth": d, "T_wc": t, "intr": i,
                                 "frame_id": f.get("frame_id")})
@@ -206,12 +232,39 @@ class NeuralMap:
         depth = jnp.asarray(frame["depth"], jnp.float32)
         T_wc = jnp.asarray(frame["T_wc"], jnp.float32)
         intr = jnp.asarray(frame["intr_mat"], jnp.float32)
+        rgb = jnp.asarray(self._frame_rgb(frame)) if self.fuse_color else None
         self.table, self.tsdf_vol, stats = self._fuse_step(
             self.table, self.tsdf_vol, self.params, depth, T_wc, intr,
-            self.bound_min, self.bound_max)
-        self.stats.append(float(stats.n_avg_pts))
+            self.bound_min, self.bound_max, rgb)
+        self._stats.append(float(stats.n_avg_pts))
         self.frames.append({"depth": depth, "T_wc": T_wc, "intr": intr,
                             "frame_id": frame.get("frame_id")})
+
+    @property
+    def stats(self) -> List[float]:
+        """Per-frame n_avg_pts values (device fetches deferred to here)."""
+        if self._pending_stats:
+            for s in self._pending_stats:
+                self._stats.extend(np.asarray(s).reshape(-1).tolist())
+            self._pending_stats = []
+        return self._stats
+
+    def _frame_rgb(self, frame) -> np.ndarray:
+        """RGB for a frame (loaded lazily from img_path if not inline)."""
+        if frame.get("rgb") is not None:
+            return np.asarray(frame["rgb"], np.float32)
+        path = frame.get("img_path")
+        if path and os.path.exists(path):
+            import cv2
+
+            img = cv2.imread(path, cv2.IMREAD_COLOR)[..., ::-1]
+            h, w = np.asarray(frame["depth"]).shape
+            if img.shape[:2] != (h, w):
+                img = cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+            return img.astype(np.float32)
+        raise ValueError(
+            "model.fuse_color is on but the frame carries neither 'rgb' nor "
+            "a readable 'img_path'")
 
     # ------------------------------------------------------------------
     # global fusion
@@ -353,12 +406,18 @@ class NeuralMap:
             return None
         decode_fn = partial(self._decode_jit, self.table.features, self.table,
                             sdf_delta)
-        return mesh_mod.extract_mesh(
+        mesh = mesh_mod.extract_mesh(
             decode_fn, active.astype(np.int32),
             np.asarray(self.bound_min), self.voxel_size,
             batch_size=batch_size, mask_sentinel=True,
             lattice_scale=int(getattr(self.config.model,
                                       "mesh_lattice_scale", 2)))
+        if mesh is not None and self.fuse_color and len(mesh.vertices):
+            colors = tsdf.sample_color(
+                self.tsdf_vol, jnp.asarray(mesh.vertices),
+                self.tsdf_voxel_size)
+            mesh = mesh._replace(colors=np.asarray(colors))
+        return mesh
 
     def extract_mesh_incremental(self, use_delta: bool = True,
                                  batch_size: int = 1 << 18):

@@ -5,6 +5,7 @@ reference src/models/fusion/local_point_fusion.py:81-151,647-673)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bnv_fusion_tpu import fusion, nn as bnn, table as tbl, voxel
 
@@ -82,6 +83,74 @@ def test_fuse_frame_matches_numpy_oracle(rng):
     exp_w = np.array([store[tuple(k)][1] for k in keys])
     np.testing.assert_allclose(got_w, exp_w, atol=1e-5)
     np.testing.assert_allclose(got_f, exp_f, atol=1e-4, rtol=1e-4)
+
+
+def _check_vs_oracle(t, store, atol_f=1e-4):
+    keys = np.array(sorted(store.keys()))
+    from bnv_fusion_tpu import tables
+    slots, found = tables.lookup(t, jnp.asarray(keys, jnp.int32))
+    assert np.asarray(found).all()
+    got_f = np.asarray(t.features)[np.asarray(slots)]
+    got_w = np.asarray(t.weights)[np.asarray(slots)]
+    exp_f = np.stack([store[tuple(k)][0] for k in keys])
+    exp_w = np.array([store[tuple(k)][1] for k in keys])
+    np.testing.assert_allclose(got_w, exp_w, atol=1e-5)
+    np.testing.assert_allclose(got_f, exp_f, atol=atol_f, rtol=1e-4)
+    # no other voxel may carry weight
+    assert int((np.asarray(t.weights) > 0).sum()) == len(keys)
+
+
+@pytest.mark.parametrize("algorithm", ["cell", "corner"])
+def test_sorted_fuse_paths_match_numpy_oracle(rng, algorithm):
+    """Both slot-map sort-reduce paths reproduce the reference update."""
+    from bnv_fusion_tpu import table_dense as tbd
+
+    params, bound_min, bound_max, vs, pts, normals = _make_setup(rng)
+    min_pts = 2
+    t = tbd.create_dense_table([24, 24, 24], 4096, 8)
+    store = {}
+    for frame in range(2):
+        fpts = pts + frame * 0.01
+        t, stats = fusion.fuse_frame(
+            t, params, jnp.asarray(fpts), jnp.asarray(normals),
+            jnp.ones((len(fpts),), bool), jnp.asarray(bound_min),
+            jnp.asarray(bound_max), vs, min_pts, max_unique=4096,
+            algorithm=algorithm)
+        store = _numpy_oracle_fuse(params, fpts, normals, bound_min,
+                                   bound_max, vs, min_pts, store)
+    assert int(np.asarray(t.overflow)) == 0
+    _check_vs_oracle(t, store)
+
+
+@pytest.mark.parametrize("algorithm", ["cell", "corner"])
+def test_sorted_fuse_degenerate_integer_coords(rng, algorithm):
+    """Points landing EXACTLY on grid planes collapse floor/ceil corners
+    (voxel.corner_neighbors uses ceil, not floor+1); the cell-keyed path
+    must reproduce the duplicate-corner accumulation exactly."""
+    from bnv_fusion_tpu import table_dense as tbd
+
+    params, bound_min, bound_max, vs, _, _ = _make_setup(rng)
+    # mix: exact corners, exact planes (1 or 2 integer axes), generic points
+    base = bound_min + vs * np.array([
+        [5.0, 5.0, 5.0],      # all-integer coords: 8 corners collapse to 1
+        [5.0, 5.0, 5.3],      # two integer axes: collapse to 2
+        [5.0, 5.6, 5.3],      # one integer axis: collapse to 4
+        [5.2, 5.6, 5.3],      # generic
+        [5.2, 5.6, 5.3],      # duplicate point (count accumulation)
+        [6.0, 5.0, 5.0],
+    ], np.float32)
+    pts = np.repeat(base, 4, axis=0)  # enough points to clear min_pts
+    normals = rng.randn(len(pts), 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+
+    t = tbd.create_dense_table([24, 24, 24], 4096, 8)
+    t, _ = fusion.fuse_frame(
+        t, params, jnp.asarray(pts), jnp.asarray(normals),
+        jnp.ones((len(pts),), bool), jnp.asarray(bound_min),
+        jnp.asarray(bound_max), vs, 2, max_unique=512, algorithm=algorithm)
+    store = _numpy_oracle_fuse(params, pts, normals, bound_min,
+                               bound_max, vs, 2, {})
+    _check_vs_oracle(t, store)
 
 
 def test_fuse_frame_below_min_pts_stays_zero(rng):

@@ -162,4 +162,6 @@ def test_fusion_with_dense_table_matches_hash(rng):
     od, oh = np.lexsort(kd.T), np.lexsort(kh.T)
     np.testing.assert_array_equal(kd[od], kh[oh])
     np.testing.assert_allclose(wd[od], wh[oh], atol=1e-6)
-    np.testing.assert_allclose(fd[od], fh[oh], atol=1e-5, rtol=1e-5)
+    # the cell-keyed sort path sums features in a different order than the
+    # hash path's scatter accumulation; tolerance covers f32 roundoff only
+    np.testing.assert_allclose(fd[od], fh[oh], atol=1e-4, rtol=1e-4)
