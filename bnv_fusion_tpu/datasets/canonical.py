@@ -56,6 +56,7 @@ class FusionInferenceDataset:
         self.max_depth = float(cfg.model.ray_tracer.ray_max_dist)
         self.depth_scale = float(getattr(d, "depth_scale", 1000.0))
         self.downsample_scale = float(getattr(d, "downsample_scale", 0.0))
+        self.load_color = bool(getattr(d, "load_color", False))
         root = os.path.join(d.data_dir, self.scan_id)
         dim_path = os.path.join(root, "pose", "dimensions.txt")
         with open(dim_path, "r") as f:
@@ -82,7 +83,7 @@ class FusionInferenceDataset:
         if self.downsample_scale and self.downsample_scale > 0:
             intr = intr.copy()
             intr[:2, :3] *= self.downsample_scale
-        return {
+        frame = {
             "frame_id": i,
             "scene_id": self.scan_id,
             "depth": depth,
@@ -90,3 +91,10 @@ class FusionInferenceDataset:
             "intr_mat": intr,
             "img_path": os.path.join(self.root, "image", f"{i}.jpg"),
         }
+        if self.load_color and os.path.exists(frame["img_path"]):
+            img = cv2.imread(frame["img_path"], cv2.IMREAD_COLOR)[..., ::-1]
+            h, w = depth.shape
+            if img.shape[:2] != (h, w):
+                img = cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+            frame["rgb"] = img.astype(np.float32)
+        return frame

@@ -161,6 +161,30 @@ def render_depth(scene: SceneSpec, T_wc: np.ndarray, intr: np.ndarray,
     return depth.reshape(h, w).astype(np.float32)
 
 
+def procedural_albedo(pts_w: np.ndarray) -> np.ndarray:
+    """Deterministic smooth RGB (0-255) from world position — gives the
+    analytic scenes a color channel so RGB fusion is testable without
+    image assets."""
+    return (127.5 * (1.0 + np.sin(pts_w * np.array([5.0, 7.0, 11.0])))
+            ).astype(np.float32)
+
+
+def render_color(depth: np.ndarray, T_wc: np.ndarray, intr: np.ndarray
+                 ) -> np.ndarray:
+    """Procedural RGB image [H, W, 3] for a rendered depth map (0 where no
+    hit)."""
+    h, w = depth.shape
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    dirs_c = np.stack([(uu - intr[0, 2]) / intr[0, 0],
+                       (vv - intr[1, 2]) / intr[1, 1],
+                       np.ones_like(uu)], axis=-1)
+    pts_c = dirs_c * depth[..., None]
+    pts_w = pts_c @ T_wc[:3, :3].T + T_wc[:3, 3]
+    rgb = procedural_albedo(pts_w.reshape(-1, 3)).reshape(h, w, 3)
+    return np.where(depth[..., None] > 0, rgb, 0.0).astype(np.float32)
+
+
 def gt_mesh(scene: SceneSpec, bounds: float = 1.3, resolution: int = 192
             ) -> Mesh:
     """Ground-truth mesh from the analytic SDF (marching tetrahedra)."""
@@ -253,6 +277,7 @@ class SyntheticDemoDataset:
                              np.float32)
         self.dimensions = np.array([2.6, 2.6, 1.6], np.float32)
         self.scan_id = getattr(d, "scan_id", "synthetic_demo")
+        self.load_color = bool(getattr(d, "load_color", False))
         radius, height = 1.6, 1.0
         self.poses = []
         for i in range(self.n_frames):
@@ -269,13 +294,16 @@ class SyntheticDemoDataset:
         T_wc = self.poses[idx]
         depth = render_depth(self.scene, T_wc, self.intr, self.img_res,
                              self.max_depth)
-        return {
+        frame = {
             "frame_id": idx,
             "scene_id": self.scan_id,
             "depth": depth,
             "T_wc": T_wc,
             "intr_mat": self.intr,
         }
+        if self.load_color:
+            frame["rgb"] = render_color(depth, T_wc, self.intr)
+        return frame
 
     def gt_mesh(self, resolution: int = 192) -> Mesh:
         return gt_mesh(self.scene, resolution=resolution)

@@ -33,6 +33,7 @@ import numpy as np
 class Mesh(NamedTuple):
     vertices: np.ndarray  # [V, 3] float32
     faces: np.ndarray     # [F, 3] int32
+    colors: np.ndarray | None = None  # optional [V, 3] uint8 vertex colors
 
 
 # ---------------------------------------------------------------------------
@@ -174,7 +175,7 @@ def laplacian_smooth(mesh: Mesh, iterations: int = 1,
         avg = acc / np.maximum(cnt, 1.0)
         has = cnt[:, 0] > 0
         v[has] = v[has] + lam * (avg[has] - v[has])
-    return Mesh(v.astype(np.float32), f)
+    return Mesh(v.astype(np.float32), f, mesh.colors)
 
 
 def post_process_mesh(mesh: Mesh, vertex_threshold: float,
@@ -198,10 +199,11 @@ def merge_vertices(mesh: Mesh, tol: float) -> Mesh:
     _, first_idx, inv = np.unique(keys, axis=0, return_index=True,
                                   return_inverse=True)
     verts = mesh.vertices[first_idx]
+    colors = None if mesh.colors is None else mesh.colors[first_idx]
     faces = inv[mesh.faces].astype(np.int32)
     ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) &
           (faces[:, 0] != faces[:, 2]))
-    return Mesh(verts.astype(np.float32), faces[ok])
+    return Mesh(verts.astype(np.float32), faces[ok], colors)
 
 
 # ---------------------------------------------------------------------------
@@ -328,13 +330,22 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
 
 def save_ply(path: str, mesh: Mesh) -> None:
     v, f = mesh.vertices.astype("<f4"), mesh.faces.astype("<i4")
+    c = mesh.colors
     with open(path, "wb") as fh:
         fh.write(b"ply\nformat binary_little_endian 1.0\n")
         fh.write(f"element vertex {len(v)}\n".encode())
         fh.write(b"property float x\nproperty float y\nproperty float z\n")
+        if c is not None:
+            fh.write(b"property uchar red\nproperty uchar green\n"
+                     b"property uchar blue\n")
         fh.write(f"element face {len(f)}\n".encode())
         fh.write(b"property list uchar int vertex_indices\nend_header\n")
-        fh.write(v.tobytes())
+        if c is None:
+            fh.write(v.tobytes())
+        else:
+            xyz = v.view("u1").reshape(len(v), 12)
+            rgb = np.asarray(c, np.uint8).reshape(len(v), 3)
+            fh.write(np.concatenate([xyz, rgb], axis=1).tobytes())
         counts = np.full((len(f), 1), 3, "u1")
         rows = np.concatenate(
             [counts.view("u1"), f.view("u1").reshape(len(f), 12)], axis=1)
@@ -362,10 +373,17 @@ def load_ply(path: str) -> Mesh:
                     n_f = int(parts[2])
             elif parts[0] == b"property" and cur == b"vertex":
                 props.append(parts[-1].decode())
+        colors = None
         if b"binary_little_endian" in fmt:
-            vdata = np.frombuffer(fh.read(n_v * 4 * len(props)), "<f4")
-            vdata = vdata.reshape(n_v, len(props))
-            verts = vdata[:, :3].copy()
+            n_rgb = sum(p in ("red", "green", "blue") for p in props)
+            n_flt = len(props) - n_rgb
+            stride = 4 * n_flt + n_rgb
+            raw_v = np.frombuffer(fh.read(n_v * stride), "u1")
+            raw_v = raw_v.reshape(n_v, stride)
+            verts = raw_v[:, :4 * n_flt].copy().view("<f4") \
+                .reshape(n_v, n_flt)[:, :3]
+            if n_rgb == 3:
+                colors = raw_v[:, 4 * n_flt:4 * n_flt + 3].copy()
             raw = fh.read(n_f * 13)
             rows = np.frombuffer(raw, "u1").reshape(n_f, 13)
             faces = rows[:, 1:].copy().view("<i4").reshape(n_f, 3)
@@ -374,7 +392,7 @@ def load_ply(path: str) -> Mesh:
             verts = np.array(rows, np.float32)[:, :3]
             faces = np.array([fh.readline().split()[1:4] for _ in range(n_f)],
                              np.int32)
-    return Mesh(verts.astype(np.float32), faces.astype(np.int32))
+    return Mesh(verts.astype(np.float32), faces.astype(np.int32), colors)
 
 
 # ---------------------------------------------------------------------------

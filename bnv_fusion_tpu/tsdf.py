@@ -32,9 +32,15 @@ class TSDFVolume(struct.PyTreeNode):
     sdf: jnp.ndarray      # [X, Y, Z] float32, normalized units
     weight: jnp.ndarray   # [X, Y, Z] float32
     origin: jnp.ndarray   # [3] float32 world position of voxel (0,0,0)
+    # optional running-mean RGB (0-255 float), same weighting as the sdf.
+    # The reference packs BGR into one float for CUDA atomics
+    # (third_parties/fusion.py:221-224,283-294) and re-quantizes every frame;
+    # three float channels keep the same semantics without the packing loss.
+    color: jnp.ndarray | None = None
 
 
-def create_tsdf_volume(dimensions: np.ndarray, voxel_size: float = 0.025
+def create_tsdf_volume(dimensions: np.ndarray, voxel_size: float = 0.025,
+                       with_color: bool = False
                        ) -> Tuple[TSDFVolume, float]:
     """Build the prior volume over the scene bounds (reference run_e2e.py:62-71).
 
@@ -47,6 +53,8 @@ def create_tsdf_volume(dimensions: np.ndarray, voxel_size: float = 0.025
         sdf=jnp.full(tuple(vol_dim), -trunc, jnp.float32),
         weight=jnp.zeros(tuple(vol_dim), jnp.float32),
         origin=jnp.asarray(min_c, jnp.float32),
+        color=(jnp.zeros(tuple(vol_dim) + (3,), jnp.float32)
+               if with_color else None),
     )
     return vol, trunc
 
@@ -54,8 +62,12 @@ def create_tsdf_volume(dimensions: np.ndarray, voxel_size: float = 0.025
 @partial(jax.jit, static_argnames=("voxel_size",), donate_argnums=(0,))
 def integrate(vol: TSDFVolume, depth: jnp.ndarray, intr: jnp.ndarray,
               T_wc: jnp.ndarray, voxel_size: float,
-              obs_weight: float = 1.0) -> TSDFVolume:
-    """Fuse one depth frame (reference third_parties/fusion.py:208-294)."""
+              obs_weight: float = 1.0,
+              rgb: jnp.ndarray | None = None) -> TSDFVolume:
+    """Fuse one RGB-D frame (reference third_parties/fusion.py:208-294).
+
+    ``rgb`` ([H, W, 3], 0-255) is fused as a per-voxel running mean with the
+    same weights as the sdf when the volume was created ``with_color``."""
     trunc = 5.0 * voxel_size
     dx, dy, dz = vol.sdf.shape
     ii = jax.lax.broadcasted_iota(jnp.float32, (dx, dy, dz), 0)
@@ -85,9 +97,17 @@ def integrate(vol: TSDFVolume, depth: jnp.ndarray, intr: jnp.ndarray,
     w_old = vol.weight
     w_new = w_old + obs_weight
     sdf_new = (w_old * vol.sdf + obs_weight * dist) / w_new
+    color = vol.color
+    if color is not None and rgb is not None:
+        rgb_val = jnp.where(valid[..., None],
+                            rgb[pyc, pxc].astype(jnp.float32), 0.0)
+        col_new = (w_old[..., None] * color + obs_weight * rgb_val) / \
+            w_new[..., None]
+        color = jnp.where(valid[..., None], col_new, color)
     return vol.replace(
         sdf=jnp.where(valid, sdf_new, vol.sdf),
         weight=jnp.where(valid, w_new, vol.weight),
+        color=color,
     )
 
 
@@ -100,3 +120,34 @@ def prepare_sdf_delta(vol: TSDFVolume, voxel_size: float,
     metric = vol.sdf * (voxel_size * 5.0)
     clipped = jnp.clip(metric, -truncated_dist, truncated_dist)
     return clipped * sdf_delta_weight
+
+
+def sample_color(vol: TSDFVolume, pts_w: jnp.ndarray, voxel_size: float
+                 ) -> jnp.ndarray:
+    """Trilinear sample of the color volume at world points -> [N, 3] uint8.
+
+    The reference colors mesh vertices by nearest-voxel lookup
+    (third_parties/fusion.py:296-316); trilinear interpolation is strictly
+    smoother and reduces to the same value at voxel centers.
+    """
+    if vol.color is None:
+        raise ValueError("TSDF volume was created without color")
+    c = (pts_w - vol.origin) / voxel_size
+    dims = jnp.asarray(vol.sdf.shape, jnp.float32)
+    c = jnp.clip(c, 0.0, dims - 1.0)
+    f = jnp.floor(c).astype(jnp.int32)
+    t = c - f
+    hi = jnp.asarray([s - 1 for s in vol.sdf.shape], jnp.int32)
+    f1 = jnp.minimum(f + 1, hi)
+    out = jnp.zeros(pts_w.shape[:-1] + (3,), jnp.float32)
+    for bx in (0, 1):
+        for by in (0, 1):
+            for bz in (0, 1):
+                ix = f1[..., 0] if bx else f[..., 0]
+                iy = f1[..., 1] if by else f[..., 1]
+                iz = f1[..., 2] if bz else f[..., 2]
+                w = ((t[..., 0] if bx else 1 - t[..., 0]) *
+                     (t[..., 1] if by else 1 - t[..., 1]) *
+                     (t[..., 2] if bz else 1 - t[..., 2]))
+                out = out + w[..., None] * vol.color[ix, iy, iz]
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
