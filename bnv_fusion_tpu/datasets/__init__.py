@@ -12,3 +12,4 @@ from bnv_fusion_tpu.datasets import scannet  # noqa: F401
 from bnv_fusion_tpu.datasets import synthetic_idr  # noqa: F401
 from bnv_fusion_tpu.datasets import arkit  # noqa: F401
 from bnv_fusion_tpu.datasets import pointnet_patches  # noqa: F401
+from bnv_fusion_tpu.datasets import fusion_windows  # noqa: F401

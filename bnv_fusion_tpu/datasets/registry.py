@@ -23,5 +23,12 @@ def get_dataset(cfg, stage: str):
     return _DATASETS[name](cfg, stage)
 
 
+def get_dataset_cls(name: str) -> Callable:
+    if name not in _DATASETS:
+        raise KeyError(
+            f"unknown dataset '{name}'; registered: {sorted(_DATASETS)}")
+    return _DATASETS[name]
+
+
 def registered() -> Dict[str, Callable]:
     return dict(_DATASETS)

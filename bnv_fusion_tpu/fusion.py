@@ -327,11 +327,31 @@ def fuse_frame_cellsort(table, params: Dict[str, Any],
     mean + min-pts masking) is shared, so semantics match the numpy oracle
     of the reference update (local_point_fusion.py:81-151,647-673).
     """
-    n = pts_w.shape[0]
     fdim = table.feat_dims
     n_xyz = table.n_xyz
     n_vox = (table.n_voxels if hasattr(table, "n_voxels")
              else table.slot_map.shape[0])
+    flat_u, cnt_u, sum_u, umask, n_unique, u, cells_dropped, n_valid = \
+        _cellsort_reduce(params, pts_w, normals, valid, bound_min, bound_max,
+                         voxel_size, compute_dtype, max_unique,
+                         max_unique_cells, n_xyz, n_vox, fdim)
+    table, stats = _integrate_unique(
+        table, flat_u, cnt_u, sum_u, umask, n_unique, u, min_pts_in_grid,
+        extra_overflow=cells_dropped.astype(jnp.int32))
+    stats = stats._replace(n_valid_pts=n_valid)
+    return table, stats
+
+
+def _cellsort_reduce(params, pts_w, normals, valid, bound_min, bound_max,
+                     voxel_size, compute_dtype, max_unique,
+                     max_unique_cells, n_xyz, n_vox, fdim):
+    """Front half of the cell-keyed fusion: one frame's oriented points ->
+    per-unique-voxel (flat id, point count, feature sum), padded to the
+    static compaction width ``max_unique``.
+
+    Returns (flat_u, cnt_u, sum_u, umask, n_unique, u, cells_dropped,
+    n_valid_pts)."""
+    n = pts_w.shape[0]
     u_cell = min(max_unique_cells if max_unique_cells else max_unique, n)
 
     inside = jnp.all((pts_w > bound_min + voxel_size) &
@@ -440,11 +460,136 @@ def fuse_frame_cellsort(table, params: Dict[str, Any],
     flo = jnp.where((pend2 >= 0)[:, None], cum2[jnp.maximum(pend2, 0)], 0.0)
     sum_u = cum2[end2] - flo + mean2 * seg_n[:, None]
 
-    table, stats = _integrate_unique(
-        table, flat_u, cnt_u, sum_u, umask, n_unique, u, min_pts_in_grid,
-        extra_overflow=cells_dropped.astype(jnp.int32))
-    stats = stats._replace(
-        n_valid_pts=jnp.sum(inside.astype(jnp.float32)))
+    return (flat_u, cnt_u, sum_u, umask, n_unique, u, cells_dropped,
+            jnp.sum(inside.astype(jnp.float32)))
+
+
+def fuse_frames_merged(table, params: Dict[str, Any],
+                       pts_w: jnp.ndarray, normals: jnp.ndarray,
+                       valid: jnp.ndarray, bound_min: jnp.ndarray,
+                       bound_max: jnp.ndarray, voxel_size: float,
+                       min_pts_in_grid: int, compute_dtype=jnp.float32,
+                       max_unique: int = 1 << 17,
+                       max_unique_cells: int | None = None,
+                       max_unique_batch: int | None = None):
+    """Fuse K frames with ONE table update (the batched-launch fast path).
+
+    The per-frame running mean (reference local_point_fusion.py:647-673) is
+    associative: folding frames i..j into old state equals one update with
+    W = sum(nw_i) and S = sum(nw_i * mean_i).  Per-frame reductions (bound
+    mask, encoding, min-pts filter, per-frame weights) run under vmap with
+    semantics identical to fuse_frame_cellsort; a cross-frame merge sort
+    then combines per-voxel contributions so the scatter-heavy insert +
+    running-mean update — measured 17 ms/frame of the 42 ms cell-sort frame
+    on v5e, the single largest cost — happens once per K-frame batch
+    instead of once per frame.
+
+    Returns (table, FrameStats with [K]-shaped leaves)."""
+    kf = pts_w.shape[0]
+    fdim = table.feat_dims
+    n_xyz = table.n_xyz
+    n_vox = (table.n_voxels if hasattr(table, "n_voxels")
+             else table.slot_map.shape[0])
+
+    def reduce_one(p, nr, v):
+        return _cellsort_reduce(params, p, nr, v, bound_min, bound_max,
+                                voxel_size, compute_dtype, max_unique,
+                                max_unique_cells, n_xyz, n_vox, fdim)
+
+    (flat_u, cnt_u, sum_u, umask, n_unique, _, cells_dropped, n_valid) = \
+        jax.vmap(reduce_one)(pts_w, normals, valid)   # [K, U, ...]
+    u = flat_u.shape[1]
+
+    # per-frame reference weighting + min-pts filter (pre-merge, exactly as
+    # the sequential path applies them)
+    mean_u = sum_u / jnp.maximum(cnt_u, 1.0)[..., None]
+    nw = jnp.minimum(cnt_u / 32.0, 1.0)
+    keep = umask & (cnt_u >= min_pts_in_grid)
+
+    m3 = kf * u
+    # every unique voxel enters the merge — sub-min-pts voxels still claim a
+    # slot with zero weight, matching the sequential path's allocation —
+    # but only keep entries carry weight/features/hits
+    key = jnp.where(umask, flat_u, n_vox).reshape(m3)
+    # nw = min(cnt/32, 1) is integer in units of 1/32 (cnt is an integer
+    # count), so its cumsum rides int32 EXACTLY — a plain f32 cumsum over
+    # ~1M entries reaches ~5e5 where ulp ~0.03 and would corrupt weights
+    nw32 = jnp.where(keep, jnp.minimum(cnt_u, 32.0), 0.0) \
+        .astype(jnp.int32).reshape(m3)
+    h32 = keep.astype(jnp.int32).reshape(m3)
+    s_z = jnp.where(keep[..., None], mean_u * nw[..., None],
+                    0.0).reshape(m3, fdim)
+
+    ops = jax.lax.sort(
+        (key, nw32, h32) + tuple(s_z[:, j] for j in range(fdim)), num_keys=1)
+    key_s, nw_s, h_s = ops[0], ops[1], ops[2]
+    s_s = jnp.stack(ops[3:], axis=-1)
+
+    prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
+    bnd = key_s != prev
+    ev = key_s < n_vox
+    wcum = jnp.cumsum(nw_s)                       # int32, exact
+    hcum = jnp.cumsum(h_s)                        # int32, exact
+    nxt = jnp.concatenate([bnd[1:], jnp.ones((1,), bool)])
+    is_end = nxt & ev
+    n_uniq_b = jnp.sum(is_end).astype(jnp.int32)
+
+    ub = min(max_unique_batch if max_unique_batch else 2 * max_unique, m3)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (m3, 1), 0)[:, 0]
+    end = jax.lax.sort(jnp.where(is_end, idx, m3))[:ub]
+    end = jnp.minimum(end, m3 - 1)
+    bmask = jnp.arange(ub) < jnp.minimum(n_uniq_b, ub)
+    pend = jnp.concatenate([jnp.full((1,), -1, end.dtype), end[:-1]])
+    flat_b = key_s[end]
+    seg_n = (end - pend).astype(jnp.float32)
+    wlo = jnp.where(pend >= 0, wcum[jnp.maximum(pend, 0)], 0)
+    W = (wcum[end] - wlo).astype(jnp.float32) / 32.0   # [UB] exact
+    hlo = jnp.where(pend >= 0, hcum[jnp.maximum(pend, 0)], 0)
+    H = (hcum[end] - hlo).astype(jnp.float32)   # frames with a real obs
+    # feature sums: a voxel appears at most ONCE PER FRAME, so every merge
+    # segment has <= K entries — sum them with K shifted gathers (exact f32
+    # accumulation; a global mean-centered cumsum leaves ~1e-4 cancellation
+    # noise that division by weights as small as 1/32 amplifies to ~3e-3)
+    seg_len = (end - pend).astype(jnp.int32)
+    S = jnp.zeros((ub, fdim), jnp.float32)
+    for i in range(kf):
+        take = jnp.maximum(end - i, 0)
+        S = S + jnp.where((i < seg_len)[:, None], s_s[take], 0.0)
+
+    table, slots, ok = tbl.insert_unique_flat(
+        table, jnp.where(bmask, flat_b, -1), bmask)
+    dropped = jnp.maximum(n_uniq_b - ub, 0)
+
+    # only voxels that accumulated real weight update values (sequential
+    # parity: sub-min-pts voxels keep zero weight/features in their slot)
+    keep_b = bmask & ok & (W > 0)
+    old_w = jnp.where(keep_b, table.weights[slots], 0.0)
+    old_f = jnp.where(keep_b[:, None], table.features[slots], 0.0)
+    old_h = jnp.where(keep_b, table.num_hits[slots], 0.0)
+    upd_w = old_w + W
+    upd_f = (old_f * old_w[:, None] + S) / \
+        jnp.maximum(upd_w, 1e-12)[:, None]
+
+    widx = jnp.where(keep_b, slots, table.capacity)
+    features = table.features.at[widx].set(upd_f, mode="drop",
+                                           unique_indices=True)
+    weights = table.weights.at[widx].set(upd_w, mode="drop",
+                                         unique_indices=True)
+    num_hits = table.num_hits.at[widx].set(old_h + H, mode="drop",
+                                           unique_indices=True)
+    per_frame_dropped = jnp.sum(jnp.maximum(n_unique - u, 0))
+    table = table.replace(
+        features=features, weights=weights, num_hits=num_hits,
+        overflow=table.overflow + dropped.astype(jnp.int32) +
+        jnp.sum(cells_dropped).astype(jnp.int32) +
+        per_frame_dropped.astype(jnp.int32))
+
+    nf = jnp.maximum(n_unique.astype(jnp.float32), 1.0)
+    stats = FrameStats(
+        n_avg_pts=jnp.sum(jnp.where(umask, cnt_u, 0.0), axis=1) / nf,
+        n_touched=n_unique.astype(jnp.float32),
+        n_valid_pts=n_valid,
+    )
     return table, stats
 
 

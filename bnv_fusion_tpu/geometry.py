@@ -31,6 +31,18 @@ def rotate_vectors(T: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
     return vec @ T[:3, :3].T
 
 
+def depth_to_xyz_np(depth, intr):
+    """Host-side twin of depth_to_xyz (dataset preprocessing paths)."""
+    import numpy as _np
+
+    h, w = depth.shape
+    uu, vv = _np.meshgrid(_np.arange(w, dtype=_np.float32),
+                          _np.arange(h, dtype=_np.float32))
+    x = (uu - intr[0, 2]) / intr[0, 0] * depth
+    y = (vv - intr[1, 2]) / intr[1, 1] * depth
+    return _np.stack([x, y, depth], axis=-1).astype(_np.float32)
+
+
 def depth_to_xyz(depth: jnp.ndarray, intr: jnp.ndarray) -> jnp.ndarray:
     """Back-project a [H, W] depth map to a camera-frame [H, W, 3] xyz map.
 

@@ -123,23 +123,31 @@ class NeuralMap:
 
         fuse_color = self.fuse_color
 
-        def body(table, tsdf_vol, params, depth, T_wc, intr,
-                 bound_min, bound_max, rgb=None):
+        def frame_points(depth, T_wc, intr):
+            """Back-project one raw frame to oriented world points.
+
+            The pretrained encoder's convention (determined empirically on
+            a fused plane): decoded SDF is positive OPPOSITE the input
+            normal.  The pipeline needs SDF positive on the camera side —
+            consistent with the render loss (gt_depth - sample_depth) and
+            the TSDF prior — so the camera-facing normals are negated here.
+            (The reference carries the same quirk: its dataset notes the
+            normals need a *-1 "due to a bug in data preparation",
+            reference src/datasets/fusion_inference_dataset.py:64-66.)"""
             xyz_cam = geometry.depth_to_xyz(depth, intr)
             valid = (depth > 0).reshape(-1)
             normals_cam = geometry.normals_from_depth(depth, intr,
                                                       mask=depth > 0)
             pts_w = geometry.transform_points(T_wc, xyz_cam.reshape(-1, 3))
-            # the pretrained encoder's convention (determined empirically on
-            # a fused plane): decoded SDF is positive OPPOSITE the input
-            # normal.  The pipeline needs SDF positive on the camera side —
-            # consistent with the render loss (gt_depth - sample_depth) and
-            # the TSDF prior — so the camera-facing normals are negated here.
-            # (The reference carries the same quirk: its dataset notes the
-            # normals need a *-1 "due to a bug in data preparation",
-            # reference src/datasets/fusion_inference_dataset.py:64-66.)
             normals_w = -geometry.rotate_vectors(T_wc,
                                                  normals_cam.reshape(-1, 3))
+            return pts_w, normals_w, valid
+
+        self._frame_points = frame_points
+
+        def body(table, tsdf_vol, params, depth, T_wc, intr,
+                 bound_min, bound_max, rgb=None):
+            pts_w, normals_w, valid = frame_points(depth, T_wc, intr)
             table, stats = fusion.fuse_frame(
                 table, params, pts_w, normals_w, valid, bound_min, bound_max,
                 vs, min_pts, compute_dtype=fuse_dtype,
@@ -157,23 +165,69 @@ class NeuralMap:
 
     def _build_fuse_batch_step(self, k: int):
         single = self._fuse_step_body()
+        m = self.config.model
+        algorithm = str(getattr(m, "fuse_algorithm", "cell"))
+        merged = bool(getattr(m, "fuse_batch_merge", True)) and \
+            algorithm == "cell"
+        if not merged:
+            @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
+            def step(table, tsdf_vol, params, depths, T_wcs, intrs,
+                     bound_min, bound_max, rgbs=None):
+                def body(carry, frame):
+                    table, tsdf_vol = carry
+                    depth, T_wc, intr = frame[0], frame[1], frame[2]
+                    rgb = frame[3] if len(frame) > 3 else None
+                    table, tsdf_vol, stats = single(
+                        table, tsdf_vol, params, depth, T_wc, intr,
+                        bound_min, bound_max, rgb=rgb)
+                    return (table, tsdf_vol), stats
 
-        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
+                xs = (depths, T_wcs, intrs) if rgbs is None else \
+                    (depths, T_wcs, intrs, rgbs)
+                (table, tsdf_vol), stats = jax.lax.scan(
+                    body, (table, tsdf_vol), xs)
+                return table, tsdf_vol, stats
+
+            return step
+
+        # merged fast path: ONE table insert+update for the whole K-frame
+        # batch (fusion.fuse_frames_merged; the per-frame scatter update was
+        # the largest cost of the scanned launch — 17 ms/frame on v5e).
+        # The TSDF prior stays a per-frame scan (dense elementwise update).
+        vs = self.voxel_size
+        min_pts = self.min_pts_in_grid
+        max_unique = int(getattr(m, "max_unique_per_frame", 1 << 17))
+        mu_cells = getattr(m, "max_unique_cells_per_frame", None)
+        mu_cells = int(mu_cells) if mu_cells else None
+        mu_batch = getattr(m, "max_unique_per_batch", None)
+        mu_batch = int(mu_batch) if mu_batch else None
+        tsdf_vs = self.tsdf_voxel_size
+        fuse_dtype = jnp.bfloat16 if str(getattr(
+            m, "fuse_dtype", "float32")) == "bfloat16" else jnp.float32
+        frame_points = self._frame_points
+        fuse_color = self.fuse_color
+
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step(table, tsdf_vol, params, depths, T_wcs, intrs,
                  bound_min, bound_max, rgbs=None):
-            def body(carry, frame):
-                table, tsdf_vol = carry
+            pts_w, normals_w, valid = jax.vmap(frame_points)(
+                depths, T_wcs, intrs)
+            table, stats = fusion.fuse_frames_merged(
+                table, params, pts_w, normals_w, valid, bound_min,
+                bound_max, vs, min_pts, compute_dtype=fuse_dtype,
+                max_unique=max_unique, max_unique_cells=mu_cells,
+                max_unique_batch=mu_batch)
+
+            def tsdf_body(vol, frame):
                 depth, T_wc, intr = frame[0], frame[1], frame[2]
                 rgb = frame[3] if len(frame) > 3 else None
-                table, tsdf_vol, stats = single(
-                    table, tsdf_vol, params, depth, T_wc, intr,
-                    bound_min, bound_max, rgb=rgb)
-                return (table, tsdf_vol), stats
+                vol = tsdf.integrate(vol, depth, intr, T_wc, tsdf_vs,
+                                     rgb=rgb if fuse_color else None)
+                return vol, None
 
             xs = (depths, T_wcs, intrs) if rgbs is None else \
                 (depths, T_wcs, intrs, rgbs)
-            (table, tsdf_vol), stats = jax.lax.scan(
-                body, (table, tsdf_vol), xs)
+            tsdf_vol, _ = jax.lax.scan(tsdf_body, tsdf_vol, xs)
             return table, tsdf_vol, stats
 
         return step

@@ -151,3 +151,65 @@ def sample_color(vol: TSDFVolume, pts_w: jnp.ndarray, voxel_size: float
                      (t[..., 2] if bz else 1 - t[..., 2]))
                 out = out + w[..., None] * vol.color[ix, iy, iz]
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("volume_resolution", "voxel_size"))
+def depth_to_tsdf_grid(depth: jnp.ndarray, T_wc: jnp.ndarray,
+                       intr: jnp.ndarray, min_coords: jnp.ndarray,
+                       volume_resolution: Tuple[int, int, int],
+                       voxel_size: float
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One frame's dense world-grid TSDF + weights at the MODEL voxel size.
+
+    jnp rebuild of reference voxel_utils.depth_to_tsdf
+    (src/utils/voxel_utils.py:478-556), the per-frame supervision volume the
+    reference's FusionDataset accumulates over a frame window
+    (fusion_dataset.py:186-251): project every voxel center into the frame,
+    nearest-sample the depth (grid_sample align_corners=True semantics),
+    sdf = clip(depth - z, +-5 voxels); valid = observed & in front &
+    sdf > -2 voxels; weight 1 on valid, sdf 0 elsewhere.
+    """
+    h, w = depth.shape
+    dx, dy, dz = volume_resolution
+    ii = jax.lax.broadcasted_iota(jnp.float32, (dx, dy, dz), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (dx, dy, dz), 1)
+    kk = jax.lax.broadcasted_iota(jnp.float32, (dx, dy, dz), 2)
+    # coords_to_positions_new: voxel centers at (c + 0.5) * vs + min
+    world = (jnp.stack([ii, jj, kk], -1) + 0.5) * voxel_size + min_coords
+    T_cw = jnp.linalg.inv(T_wc)
+    cam = world @ T_cw[:3, :3].T + T_cw[:3, 3]
+    z = cam[..., 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
+    px = cam[..., 0] * intr[0, 0] / safe_z + intr[0, 2]
+    py = cam[..., 1] * intr[1, 1] / safe_z + intr[1, 2]
+    # grid_sample(mode=nearest, align_corners=True) over px/W*2-1:
+    # index = round(px * (W-1) / W); zeros padding outside
+    ix = jnp.round(px * (w - 1) / w).astype(jnp.int32)
+    iy = jnp.round(py * (h - 1) / h).astype(jnp.int32)
+    inside = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    d = jnp.where(inside,
+                  depth[jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1)], 0.0)
+    sdf = jnp.clip(d - z, -5.0 * voxel_size, 5.0 * voxel_size)
+    valid = (jnp.abs(d) > 1e-5) & (z > 0) & (sdf > -2.0 * voxel_size)
+    return jnp.where(valid, sdf, 0.0), valid.astype(jnp.float32)
+
+
+def accumulate_tsdf_window(depths, T_wcs, intrs, min_coords,
+                           volume_resolution, voxel_size: float):
+    """Accumulated multi-frame TSDF supervision (reference
+    fusion_dataset.py:243-251): mean of per-frame TSDFs over observed
+    frames; never-observed voxels get +5 voxels."""
+    sdf_sum = jnp.zeros(volume_resolution, jnp.float32)
+    w_sum = jnp.zeros(volume_resolution, jnp.float32)
+    for depth, T_wc, intr in zip(depths, T_wcs, intrs):
+        s, w = depth_to_tsdf_grid(jnp.asarray(depth, jnp.float32),
+                                  jnp.asarray(T_wc, jnp.float32),
+                                  jnp.asarray(intr, jnp.float32),
+                                  jnp.asarray(min_coords, jnp.float32),
+                                  tuple(volume_resolution), voxel_size)
+        sdf_sum = sdf_sum + s
+        w_sum = w_sum + w
+    n = len(depths)
+    sdf = sdf_sum / jnp.clip(w_sum, 1.0, float(n))
+    sdf = jnp.where(w_sum == 0, 5.0 * voxel_size, sdf)
+    return sdf, w_sum

@@ -168,6 +168,36 @@ def main():
             (ck,) + tuple(f2[:, j] for j in range(fdim)) + (c2,), num_keys=1)
         return ops2
 
+    def seg2_stage(depth, T_wc, intr):
+        ops2 = sort2_stage(depth, T_wc, intr)
+        m2 = u_cell * 8
+        ck_s = ops2[0]
+        f2_s = jnp.stack(ops2[1:1 + fdim], axis=-1)
+        c2_s = ops2[-1]
+        prev2 = jnp.concatenate([jnp.full((1,), -1, ck_s.dtype), ck_s[:-1]])
+        b2 = ck_s != prev2
+        ev2 = ck_s < n_vox
+        mean2 = jnp.mean(f2_s, axis=0, keepdims=True)
+        cum2 = jnp.cumsum(f2_s - mean2, axis=0)
+        ccum2 = jnp.cumsum(c2_s)
+        nxt2 = jnp.concatenate([b2[1:], jnp.ones((1,), bool)])
+        is_end2 = nxt2 & ev2
+        n_unique = jnp.sum(is_end2).astype(jnp.int32)
+        u = min(max_unique, m2)
+        idx2 = jax.lax.broadcasted_iota(jnp.int32, (m2, 1), 0)[:, 0]
+        end2 = jax.lax.sort(jnp.where(is_end2, idx2, m2))[:u]
+        end2 = jnp.minimum(end2, m2 - 1)
+        umask = jnp.arange(u) < jnp.minimum(n_unique, u)
+        pend2 = jnp.concatenate([jnp.full((1,), -1, end2.dtype), end2[:-1]])
+        flat_u = ck_s[end2]
+        seg_n = (end2 - pend2).astype(jnp.float32)
+        clo = jnp.where(pend2 >= 0, ccum2[jnp.maximum(pend2, 0)], 0)
+        cnt_u = (ccum2[end2] - clo).astype(jnp.float32)
+        flo = jnp.where((pend2 >= 0)[:, None],
+                        cum2[jnp.maximum(pend2, 0)], 0.0)
+        sum_u = cum2[end2] - flo + mean2 * seg_n[:, None]
+        return flat_u, cnt_u, sum_u, umask, n_unique
+
     def make_scan(stage_fn):
         @jax.jit
         def run(depths, T_wcs, intrs):
@@ -220,6 +250,8 @@ def main():
     t_g1 = timeit("+ seg1+compact", make_scan(seg1_stage),
                   depths, T_wcs, intrs)
     t_s2 = timeit("+ sort2", make_scan(sort2_stage), depths, T_wcs, intrs)
+    t_g2 = timeit("+ seg2+compact", make_scan(seg2_stage),
+                  depths, T_wcs, intrs)
     t_f = timeit("full cell fuse", full, table0, depths, T_wcs, intrs)
 
     def d(a, b):
@@ -232,7 +264,8 @@ def main():
     print(f"  encode           {d(t_en, t_s1):7.2f}")
     print(f"  seg1+compact     {d(t_g1, t_en):7.2f}")
     print(f"  sort2            {d(t_s2, t_g1):7.2f}")
-    print(f"  seg2+insert+upd  {d(t_f, t_s2):7.2f}")
+    print(f"  seg2+compact     {d(t_g2, t_s2):7.2f}")
+    print(f"  insert+update    {d(t_f, t_g2):7.2f}")
     print(f"  TOTAL fuse       {d(t_f, t_e):7.2f}")
 
 
