@@ -688,7 +688,9 @@ def _sample_delta_nearest(sdf_delta: jnp.ndarray, corners: jnp.ndarray,
     idx = jnp.round(u * (dims - 1.0)).astype(jnp.int32)
     inside = jnp.all((idx >= 0) & (idx < jnp.asarray([dx, dy, dz])), axis=-1)
     idx = jnp.clip(idx, 0, jnp.asarray([dx - 1, dy - 1, dz - 1]))
-    vals = sdf_delta[idx[..., 0], idx[..., 1], idx[..., 2]]
+    # flattened 1-D gather (multi-dim gathers lower poorly on v5e)
+    flat = (idx[..., 0] * (dy * dz) + idx[..., 1] * dz + idx[..., 2])
+    vals = sdf_delta.reshape(-1)[flat.reshape(-1)].reshape(flat.shape)
     return jnp.where(inside, vals, 0.0)
 
 

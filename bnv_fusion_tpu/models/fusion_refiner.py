@@ -46,9 +46,33 @@ class FusionRefiner:
             log.info(f"loading sparse volume {vol_path}")
             nmap.load_volume(vol_path)
         tsdf_path = getattr(cfg.model, "tsdf_prior_path", None)
+        metric = None
+        if not tsdf_path and bool(getattr(cfg.model,
+                                          "prior_from_noisy_depth", False)):
+            # build the prior the way the reference's training data does
+            # (fusion_dataset.py:243-251): accumulate noise-degraded depth
+            # TSDFs over the sequence at the model voxel size, then resample
+            # onto the prior grid like any loaded .npy
+            log.info("accumulating noisy-depth tsdf prior from the dataset")
+            from bnv_fusion_tpu import geometry, voxel as vx
+
+            sim = geometry.DepthNoiseSimulator(
+                seed=int(getattr(cfg.trainer, "seed", 0)))
+            mn, _, n_xyz = vx.get_world_range(dataset.dimensions,
+                                              nmap.voxel_size)
+            res = tuple(int(x) for x in n_xyz)
+            frames = [dataset[i] for i in range(len(dataset))]
+            sdf, _ = tsdf_mod.accumulate_tsdf_window(
+                [sim.simulate(np.asarray(f["depth"], np.float32))
+                 for f in frames],
+                [f["T_wc"] for f in frames],
+                [f["intr_mat"] for f in frames],
+                mn, res, nmap.voxel_size)
+            metric = np.asarray(sdf)
         if tsdf_path:
             log.info(f"loading tsdf prior {tsdf_path}")
             metric = np.load(tsdf_path)
+        if metric is not None:
             dst_shape = nmap.tsdf_vol.sdf.shape
             if metric.shape != dst_shape:
                 # Resample a prior saved at a different resolution onto the
@@ -85,9 +109,14 @@ class FusionRefiner:
         iters = iters_per_epoch or len(nmap.frames)
         mesh = None
         os.makedirs(working_dir, exist_ok=True)
+        # reference refiner schedule: one full sequential pass over ALL
+        # frames per epoch (fusion_refiner.py:288-315); "random" opts into
+        # the online loop's i.i.d. sampling instead
+        order = str(getattr(cfg.model, "refine_frame_order", "epoch"))
         for epoch in range(n_epochs):
             nmap.optimize(n_iters=iters, last_frame=-1,
-                          lr=float(cfg.optimizer.lr.initial))
+                          lr=float(cfg.optimizer.lr.initial),
+                          frame_order=order)
             mesh = nmap.extract_mesh()
             if mesh is not None:
                 out = os.path.join(working_dir, f"refined_{epoch}.ply")

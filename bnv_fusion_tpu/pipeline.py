@@ -325,9 +325,14 @@ class NeuralMap:
     # ------------------------------------------------------------------
 
     def optimize(self, n_iters: int, last_frame: int = -1,
-                 lr: float = 1e-3):
+                 lr: float = 1e-3, frame_order: str = "random"):
         """Render-loss optimization of the latents
-        (reference run_e2e.py:111-162)."""
+        (reference run_e2e.py:111-162).
+
+        ``frame_order``: "random" draws frames i.i.d. from the pool (the
+        online loop, reference run_e2e.py:116); "epoch" sweeps the pool
+        sequentially, wrapping — the reference refiner's full per-epoch
+        pass over all frames (fusion_refiner.py:288-315)."""
         if not self.frames:
             return
         error_guided = bool(getattr(self.config.model,
@@ -370,7 +375,10 @@ class NeuralMap:
         done = 0
         while done < int(n_iters):
             k = min(group, int(n_iters) - done)
-            fis = rng.randint(0, len(frame_pool), size=k)
+            if frame_order == "epoch":
+                fis = (done + np.arange(k)) % len(frame_pool)
+            else:
+                fis = rng.randint(0, len(frame_pool), size=k)
             depths = jnp.stack([frame_pool[i]["depth"] for i in fis])
             T_wcs = jnp.stack([frame_pool[i]["T_wc"] for i in fis])
             intrs = jnp.stack([frame_pool[i]["intr"] for i in fis])
