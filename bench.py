@@ -58,7 +58,7 @@ def main():
     # host->device staging (the streaming condition); K frames per launch
     # amortize the tunneled runtime's per-dispatch overhead
     frames = [ds[i] for i in range(len(ds))]
-    k = 8
+    k = 16
     batches = [frames[i:i + k] for i in range(0, len(frames), k)]
 
     # warmup: compile + first batch

@@ -32,40 +32,83 @@ _NEIGHBOR_OFFSETS = np.stack(
 class IncrementalMesher:
     def __init__(self, min_coords, voxel_size: float,
                  merge_tol_factor: float = 0.25,
-                 batch_size: int = 1 << 18):
+                 batch_size: int = 1 << 18,
+                 n_xyz=None, delta_tol: float = 0.0):
         self.min_coords = np.asarray(min_coords)
         self.voxel_size = float(voxel_size)
         self.merge_tol_factor = merge_tol_factor
         self.batch_size = batch_size
+        self.n_xyz = None if n_xyz is None else np.asarray(n_xyz, np.int64)
+        # prior cells whose value moved more than this re-mesh their voxels
+        # (0.0 = exact tracking of every prior change)
+        self.delta_tol = float(delta_tol)
         # cell key (half-lattice origin tuple) -> [k, 3, 3] triangle verts
         self._cells: Dict[Tuple[int, int, int], np.ndarray] = {}
         self._prev_weights: Optional[np.ndarray] = None
-        self._prev_feat_sum: Optional[np.ndarray] = None
+        self._prev_features: Optional[np.ndarray] = None
+        self._prev_delta: Optional[np.ndarray] = None
 
     def _changed_slots(self, weights: np.ndarray,
-                       feat_sum: np.ndarray) -> np.ndarray:
+                       features: np.ndarray) -> np.ndarray:
         if self._prev_weights is None:
             changed = np.ones(len(weights), bool)
         else:
             n = min(len(weights), len(self._prev_weights))
             changed = np.zeros(len(weights), bool)
+            # exact per-row comparison: a reduced proxy (e.g. feature sums)
+            # can alias distinct latents and miss changes
             changed[:n] = (weights[:n] != self._prev_weights[:n]) | \
-                          (feat_sum[:n] != self._prev_feat_sum[:n])
+                (features[:n] != self._prev_features[:n]).any(axis=1)
             changed[n:] = True
         self._prev_weights = weights.copy()
-        self._prev_feat_sum = feat_sum.copy()
+        self._prev_features = features.copy()
         return changed
 
+    def _delta_changed_voxels(self, sdf_delta: Optional[np.ndarray],
+                              active_coords: np.ndarray) -> np.ndarray:
+        """Voxels whose decode is affected by TSDF-prior changes.
+
+        decode samples the prior at fine-grid corner coords via nearest
+        lookup (fusion._sample_delta_nearest); a voxel's samples span its
+        coords +-1, which maps to at most +-1 prior cell (the prior is at
+        least as coarse as the fine grid), covered by a 2-cell dilation of
+        the changed-prior mask."""
+        if sdf_delta is None or self.n_xyz is None:
+            self._prev_delta = None
+            return np.zeros(len(active_coords), bool)
+        sdf_delta = np.asarray(sdf_delta)
+        prev = self._prev_delta
+        self._prev_delta = sdf_delta.copy()
+        if prev is None or prev.shape != sdf_delta.shape:
+            return np.zeros(len(active_coords), bool)  # first call: all
+            # voxels are "changed" via the weights path anyway
+        moved = np.abs(sdf_delta - prev) > self.delta_tol
+        if not moved.any():
+            return np.zeros(len(active_coords), bool)
+        from scipy.ndimage import binary_dilation
+
+        moved = binary_dilation(moved, iterations=2)
+        dims = np.asarray(sdf_delta.shape, np.float64)
+        idx = np.round(active_coords.astype(np.float64) /
+                       np.maximum(self.n_xyz - 1, 1) *
+                       (dims - 1)).astype(np.int64)
+        idx = np.clip(idx, 0, (dims - 1).astype(np.int64))
+        return moved[idx[:, 0], idx[:, 1], idx[:, 2]]
+
     def update(self, decode_fn, active_coords: np.ndarray,
-               active_weights: np.ndarray, active_feat_sum: np.ndarray,
-               min_weight: float) -> Mesh:
+               active_weights: np.ndarray, active_features: np.ndarray,
+               min_weight: float,
+               sdf_delta: Optional[np.ndarray] = None) -> Mesh:
         """Refresh the cache and return the merged mesh.
 
         ``active_*`` are the table's compacted entries in SLOT order (stable
         across calls for the dense table); ``decode_fn`` as in
         mesh.extract_mesh.  ``min_weight`` filters voxels that can mesh.
+        ``sdf_delta`` (the dense prior in DECODE units) re-meshes voxels
+        whose prior moved even when their latents did not.
         """
-        changed = self._changed_slots(active_weights, active_feat_sum)
+        changed = self._changed_slots(active_weights, active_features)
+        changed |= self._delta_changed_voxels(sdf_delta, active_coords)
         eligible = active_weights >= min_weight
         work = active_coords[changed & eligible]
         if len(work) == 0 and self._cells:

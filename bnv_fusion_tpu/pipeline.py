@@ -218,16 +218,9 @@ class NeuralMap:
                 max_unique=max_unique, max_unique_cells=mu_cells,
                 max_unique_batch=mu_batch)
 
-            def tsdf_body(vol, frame):
-                depth, T_wc, intr = frame[0], frame[1], frame[2]
-                rgb = frame[3] if len(frame) > 3 else None
-                vol = tsdf.integrate(vol, depth, intr, T_wc, tsdf_vs,
-                                     rgb=rgb if fuse_color else None)
-                return vol, None
-
-            xs = (depths, T_wcs, intrs) if rgbs is None else \
-                (depths, T_wcs, intrs, rgbs)
-            tsdf_vol, _ = jax.lax.scan(tsdf_body, tsdf_vol, xs)
+            tsdf_vol = tsdf.integrate_batch(
+                tsdf_vol, depths, intrs, T_wcs, tsdf_vs,
+                rgbs=rgbs if fuse_color else None)
             return table, tsdf_vol, stats
 
         return step
@@ -483,11 +476,12 @@ class NeuralMap:
 
     def extract_mesh_incremental(self, use_delta: bool = True,
                                  batch_size: int = 1 << 18):
-        """Demo-mode mesh preview: only re-decodes voxels whose latents
-        changed since the last call (the reference VolumeList mesh-cache
-        role).  Approximation: changes that arrive ONLY through the TSDF
-        prior are not re-meshed (bounded by sdf_delta_weight x truncation,
-        ~5 mm x 0.1); final exports should use extract_mesh().
+        """Demo-mode mesh preview: only re-decodes voxels whose latents OR
+        TSDF-prior cells changed since the last call (the reference
+        VolumeList mesh-cache role).  Change detection is exact: per-row
+        feature comparison plus a dilated diff of the dense prior
+        (model.incremental_delta_tol bounds how small a prior move still
+        triggers a re-decode; default 0.0 = every change).
         """
         from bnv_fusion_tpu.incremental_mesh import IncrementalMesher
 
@@ -495,7 +489,9 @@ class NeuralMap:
         if getattr(self, "_inc_mesher", None) is None:
             self._inc_mesher = IncrementalMesher(
                 np.asarray(self.bound_min), self.voxel_size,
-                batch_size=batch_size)
+                batch_size=batch_size, n_xyz=np.asarray(self.n_xyz),
+                delta_tol=float(getattr(self.config.model,
+                                        "incremental_delta_tol", 0.0)))
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
@@ -508,8 +504,9 @@ class NeuralMap:
                             sdf_delta)
         mesh = self._inc_mesher.update(
             decode_fn, keys.astype(np.int32), weights,
-            feats.sum(axis=1).astype(np.float32),
-            min_weight=self.min_pts_in_grid)
+            np.asarray(feats, np.float32),
+            min_weight=self.min_pts_in_grid,
+            sdf_delta=np.asarray(sdf_delta) if use_delta else None)
         return mesh if len(mesh.vertices) else None
 
     def save(self, path_prefix: str):

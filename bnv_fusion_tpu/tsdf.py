@@ -216,3 +216,75 @@ def accumulate_tsdf_window(depths, T_wcs, intrs, min_coords,
     sdf = sdf_sum / jnp.clip(w_sum, 1.0, float(n))
     sdf = jnp.where(w_sum == 0, 5.0 * voxel_size, sdf)
     return sdf, w_sum
+
+
+def integrate_batch(vol: TSDFVolume, depths: jnp.ndarray, intrs: jnp.ndarray,
+                    T_wcs: jnp.ndarray, voxel_size: float,
+                    obs_weight: float = 1.0,
+                    rgbs: jnp.ndarray | None = None) -> TSDFVolume:
+    """Fuse K frames with ONE volume update.
+
+    The per-frame running mean (third_parties/fusion.py:208-294) is
+    associative: folding frames i..j equals one update with
+    W = sum(valid_i * obs_weight) and D = sum(valid_i * obs_weight * dist_i).
+    Per-frame projections run under vmap; the K dense read-modify-write
+    passes over the volume collapse to one.
+    """
+    trunc = 5.0 * voxel_size
+    dx, dy, dz = vol.sdf.shape
+    ii = jax.lax.broadcasted_iota(jnp.float32, (dx, dy, dz), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (dx, dy, dz), 1)
+    kk = jax.lax.broadcasted_iota(jnp.float32, (dx, dy, dz), 2)
+    world = jnp.stack([ii, jj, kk], axis=-1) * voxel_size + vol.origin
+
+    def one(depth, intr, T_wc, rgb):
+        T_cw = jnp.linalg.inv(T_wc)
+        cam = world @ T_cw[:3, :3].T + T_cw[:3, 3]
+        z = cam[..., 2]
+        fx, fy = intr[0, 0], intr[1, 1]
+        cx, cy = intr[0, 2], intr[1, 2]
+        safe_z = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
+        px = jnp.round(cam[..., 0] * fx / safe_z + cx).astype(jnp.int32)
+        py = jnp.round(cam[..., 1] * fy / safe_z + cy).astype(jnp.int32)
+        h, w = depth.shape
+        in_view = (px >= 0) & (px < w) & (py >= 0) & (py < h) & (z > 0)
+        flat = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
+        depth_val = jnp.where(
+            in_view, depth.reshape(-1)[flat.reshape(-1)].reshape(flat.shape),
+            0.0)
+        depth_diff = depth_val - z
+        valid = (depth_val > 0) & (depth_diff >= -trunc)
+        dist = jnp.minimum(1.0, depth_diff / trunc)
+        wv = valid.astype(jnp.float32) * obs_weight
+        out = (wv, wv * dist)
+        if rgb is not None:
+            rgb_val = jnp.where(
+                valid[..., None],
+                rgb.reshape(-1, 3)[flat.reshape(-1)].reshape(
+                    flat.shape + (3,)).astype(jnp.float32), 0.0)
+            out = out + (wv[..., None] * rgb_val,)
+        return out
+
+    if rgbs is None:
+        wv, wd = jax.vmap(lambda d, i, t: one(d, i, t, None))(
+            depths, intrs, T_wcs)
+        wc = None
+    else:
+        wv, wd, wc = jax.vmap(one)(depths, intrs, T_wcs, rgbs)
+    W = jnp.sum(wv, axis=0)
+    D = jnp.sum(wd, axis=0)
+    touched = W > 0
+    w_old = vol.weight
+    w_new = w_old + W
+    sdf_new = (w_old * vol.sdf + D) / jnp.maximum(w_new, 1e-12)
+    color = vol.color
+    if color is not None and wc is not None:
+        C = jnp.sum(wc, axis=0)
+        col_new = (w_old[..., None] * color + C) / \
+            jnp.maximum(w_new, 1e-12)[..., None]
+        color = jnp.where(touched[..., None], col_new, color)
+    return vol.replace(
+        sdf=jnp.where(touched, sdf_new, vol.sdf),
+        weight=jnp.where(touched, w_new, vol.weight),
+        color=color,
+    )

@@ -31,9 +31,9 @@ def _sorted_verts(mesh):
 def test_first_update_matches_full_extraction():
     vs, mn, active, decode_fn = _setup(0.5)
     weights = np.full(len(active), 8.0, np.float32)
-    fsum = np.zeros((len(active),), np.float32)
+    feats = np.zeros((len(active), 4), np.float32)
     inc = IncrementalMesher(mn, vs)
-    got = inc.update(decode_fn, active, weights, fsum, min_weight=1.0)
+    got = inc.update(decode_fn, active, weights, feats, min_weight=1.0)
     full = m.extract_mesh(decode_fn, active, mn, vs, batch_size=1 << 14,
                           use_native=False)
     # same surface: equal vertex sets after welding
@@ -43,17 +43,17 @@ def test_first_update_matches_full_extraction():
 def test_incremental_update_tracks_surface_change():
     vs, mn, active, decode_a = _setup(0.5)
     weights = np.full(len(active), 8.0, np.float32)
-    fsum = np.zeros((len(active),), np.float32)
+    feats = np.zeros((len(active), 4), np.float32)
     inc = IncrementalMesher(mn, vs)
-    inc.update(decode_a, active, weights, fsum, min_weight=1.0)
+    inc.update(decode_a, active, weights, feats, min_weight=1.0)
 
     # surface moves slightly; only half the voxels report changes
     _, _, active_b, decode_b = _setup(0.52)
     # keep slot order stable: same active set (its shell covers r=0.52 too)
     changed = active[:, 0] >= 20  # "half the scene was refit"
-    fsum2 = fsum.copy()
-    fsum2[changed] += 1.0
-    got = inc.update(decode_b, active, weights, fsum2, min_weight=1.0)
+    feats2 = feats.copy()
+    feats2[changed, 1] += 1.0
+    got = inc.update(decode_b, active, weights, feats2, min_weight=1.0)
 
     # ground truth: full extraction with a decoder mixing the two radii
     def decode_mixed(coords):
@@ -75,15 +75,75 @@ def test_incremental_update_tracks_surface_change():
 def test_no_change_returns_cached():
     vs, mn, active, decode_fn = _setup(0.5)
     weights = np.full(len(active), 8.0, np.float32)
-    fsum = np.zeros((len(active),), np.float32)
+    feats = np.zeros((len(active), 4), np.float32)
     inc = IncrementalMesher(mn, vs)
-    m1 = inc.update(decode_fn, active, weights, fsum, min_weight=1.0)
+    m1 = inc.update(decode_fn, active, weights, feats, min_weight=1.0)
     calls = []
 
     def counting_decode(coords):
         calls.append(1)
         return decode_fn(coords)
 
-    m2 = inc.update(counting_decode, active, weights, fsum, min_weight=1.0)
+    m2 = inc.update(counting_decode, active, weights, feats, min_weight=1.0)
     assert not calls  # nothing changed -> no decode at all
     np.testing.assert_array_equal(_sorted_verts(m1), _sorted_verts(m2))
+
+
+def test_feature_change_with_equal_sum_is_detected():
+    """A latent change that keeps the feature SUM constant must re-mesh
+    (the old sum-proxy change detector aliased here)."""
+    vs, mn, active, decode_a = _setup(0.5)
+    weights = np.full(len(active), 8.0, np.float32)
+    feats = np.zeros((len(active), 4), np.float32)
+    inc = IncrementalMesher(mn, vs)
+    inc.update(decode_a, active, weights, feats, min_weight=1.0)
+
+    _, _, _, decode_b = _setup(0.52)
+    feats2 = feats.copy()
+    feats2[:, 0] += 1.0
+    feats2[:, 1] -= 1.0  # sum unchanged
+    got = inc.update(decode_b, active, weights, feats2, min_weight=1.0)
+    r = np.linalg.norm(got.vertices, axis=-1)
+    assert abs(r.mean() - 0.52) < 0.01
+
+
+def test_prior_change_triggers_remesh():
+    """Changes arriving ONLY through sdf_delta re-mesh affected voxels."""
+    vs, mn, active, decode_a = _setup(0.5)
+    n_xyz = np.array([40, 40, 40])
+    weights = np.full(len(active), 8.0, np.float32)
+    feats = np.zeros((len(active), 4), np.float32)
+    inc = IncrementalMesher(mn, vs, n_xyz=n_xyz)
+    delta0 = np.zeros((20, 20, 20), np.float32)
+    inc.update(decode_a, active, weights, feats, min_weight=1.0,
+               sdf_delta=delta0)
+
+    # the decoder now reflects a prior shift, but latents are unchanged;
+    # only the prior diff can trigger the re-decode
+    _, _, _, decode_b = _setup(0.52)
+    delta1 = delta0.copy()
+    delta1[:] = 0.1  # global prior move
+    got = inc.update(decode_b, active, weights, feats, min_weight=1.0,
+                     sdf_delta=delta1)
+    r = np.linalg.norm(got.vertices, axis=-1)
+    assert abs(r.mean() - 0.52) < 0.01
+
+
+def test_prior_unchanged_no_remesh():
+    vs, mn, active, decode_fn = _setup(0.5)
+    n_xyz = np.array([40, 40, 40])
+    weights = np.full(len(active), 8.0, np.float32)
+    feats = np.zeros((len(active), 4), np.float32)
+    inc = IncrementalMesher(mn, vs, n_xyz=n_xyz)
+    delta = np.zeros((20, 20, 20), np.float32)
+    inc.update(decode_fn, active, weights, feats, min_weight=1.0,
+               sdf_delta=delta)
+    calls = []
+
+    def counting_decode(coords):
+        calls.append(1)
+        return decode_fn(coords)
+
+    inc.update(counting_decode, active, weights, feats, min_weight=1.0,
+               sdf_delta=delta.copy())
+    assert not calls
