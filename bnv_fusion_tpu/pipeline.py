@@ -218,9 +218,21 @@ class NeuralMap:
                 max_unique=max_unique, max_unique_cells=mu_cells,
                 max_unique_batch=mu_batch)
 
-            tsdf_vol = tsdf.integrate_batch(
-                tsdf_vol, depths, intrs, T_wcs, tsdf_vs,
-                rgbs=rgbs if fuse_color else None)
+            # TSDF prior stays a per-frame scan: the vmapped single-pass
+            # variant (tsdf.integrate_batch) materializes K dense
+            # intermediates and measured slightly SLOWER on v5e (21.4 vs
+            # 21.95 fps at K=8); the scan's sequential read-modify-write of
+            # the 6 MB volume wins
+            def tsdf_body(vol, frame):
+                depth, T_wc, intr = frame[0], frame[1], frame[2]
+                rgb = frame[3] if len(frame) > 3 else None
+                vol = tsdf.integrate(vol, depth, intr, T_wc, tsdf_vs,
+                                     rgb=rgb if fuse_color else None)
+                return vol, None
+
+            xs = (depths, T_wcs, intrs) if rgbs is None else \
+                (depths, T_wcs, intrs, rgbs)
+            tsdf_vol, _ = jax.lax.scan(tsdf_body, tsdf_vol, xs)
             return table, tsdf_vol, stats
 
         return step

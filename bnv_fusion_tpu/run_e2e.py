@@ -70,6 +70,16 @@ def main(argv=None):
     use_batch = batch_k > 1 and not demo_mode
     pending = []
 
+    # live monitoring (the reference's optional pangolin window,
+    # src/utils/pangolin_helper.py — here an HTTP page, display-less-safe)
+    viewer = None
+    viewer_port = int(getattr(cfg.trainer, "live_viewer_port", 0) or 0)
+    if viewer_port:
+        from bnv_fusion_tpu.utils.live_viewer import LiveViewer
+
+        viewer = LiveViewer(port=viewer_port)
+        log.info(f"live viewer at http://127.0.0.1:{viewer.port}/")
+
     log.info(f"fusing {len(dataset)} frames (scan {cfg.dataset.scan_id})")
     for idx in range(len(dataset)):
         frame = dataset[idx]
@@ -92,6 +102,11 @@ def main(argv=None):
             m = nmap.extract_mesh_incremental()
             if m is not None:
                 mesh_mod.save_ply(os.path.join(working_dir, f"{idx}.ply"), m)
+                if viewer is not None:
+                    viewer.publish(m, status={
+                        "frames": idx + 1,
+                        "local_s": round(nmap.timer.times["local"], 2),
+                        "global_s": round(nmap.timer.times["global"], 2)})
 
     m = nmap.extract_mesh()
     if m is not None:

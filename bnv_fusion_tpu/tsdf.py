@@ -102,8 +102,10 @@ def integrate(vol: TSDFVolume, depth: jnp.ndarray, intr: jnp.ndarray,
     sdf_new = (w_old * vol.sdf + obs_weight * dist) / w_new
     color = vol.color
     if color is not None and rgb is not None:
-        rgb_val = jnp.where(valid[..., None],
-                            rgb[pyc, pxc].astype(jnp.float32), 0.0)
+        rgb_flat = rgb.reshape(-1, 3)[flat.reshape(-1)].reshape(
+            flat.shape + (3,))
+        rgb_val = jnp.where(valid[..., None], rgb_flat.astype(jnp.float32),
+                            0.0)
         col_new = (w_old[..., None] * color + obs_weight * rgb_val) / \
             w_new[..., None]
         color = jnp.where(valid[..., None], col_new, color)
