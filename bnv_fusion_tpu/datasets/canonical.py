@@ -57,6 +57,9 @@ class FusionInferenceDataset:
         self.depth_scale = float(getattr(d, "depth_scale", 1000.0))
         self.downsample_scale = float(getattr(d, "downsample_scale", 0.0))
         self.load_color = bool(getattr(d, "load_color", False))
+        # stage sensor-native uint16 depth alongside the metric f32 (the
+        # pipeline transfers the raw array and converts on device)
+        self.stage_raw_depth = bool(getattr(d, "stage_raw_depth", False))
         root = os.path.join(d.data_dir, self.scan_id)
         dim_path = os.path.join(root, "pose", "dimensions.txt")
         with open(dim_path, "r") as f:
@@ -91,6 +94,15 @@ class FusionInferenceDataset:
             "intr_mat": intr,
             "img_path": os.path.join(self.root, "image", f"{i}.jpg"),
         }
+        if self.stage_raw_depth:
+            raw = cv2.imread(os.path.join(self.root, "depth", f"{i}.png"), -1)
+            if self.downsample_scale and self.downsample_scale > 0:
+                hh, ww = raw.shape
+                raw = cv2.resize(raw, (int(ww * self.downsample_scale),
+                                       int(hh * self.downsample_scale)),
+                                 interpolation=cv2.INTER_NEAREST)
+            frame["depth_raw"] = raw.astype(np.uint16)
+            frame["depth_scale"] = self.depth_scale
         if self.load_color and os.path.exists(frame["img_path"]):
             img = cv2.imread(frame["img_path"], cv2.IMREAD_COLOR)[..., ::-1]
             h, w = depth.shape

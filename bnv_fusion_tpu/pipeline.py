@@ -258,8 +258,19 @@ class NeuralMap:
                 if not np.any(np.isnan(np.asarray(f["T_wc"])))]
         if not keep:
             return
-        depths = jnp.asarray(np.stack(
-            [np.asarray(f["depth"], np.float32) for f in keep]))
+        if all(f.get("depth_raw") is not None for f in keep):
+            # stage the sensor-native uint16 depth (4x less tunnel traffic
+            # than f32) and convert on device; the converted f32 stays
+            # device-resident for the optimization ray pool
+            scales = {float(f.get("depth_scale", 1000.0)) for f in keep}
+            if len(scales) != 1:
+                raise ValueError("mixed depth_scale within one batch")
+            raw = jnp.asarray(np.stack(
+                [np.asarray(f["depth_raw"], np.uint16) for f in keep]))
+            depths = self._convert_raw_depth(raw, next(iter(scales)))
+        else:
+            depths = jnp.asarray(np.stack(
+                [np.asarray(f["depth"], np.float32) for f in keep]))
         T_wcs = jnp.asarray(np.stack(
             [np.asarray(f["T_wc"], np.float32) for f in keep]))
         intrs = jnp.asarray(np.stack(
@@ -298,6 +309,20 @@ class NeuralMap:
         self._stats.append(float(stats.n_avg_pts))
         self.frames.append({"depth": depth, "T_wc": T_wc, "intr": intr,
                             "frame_id": frame.get("frame_id")})
+
+    def _convert_raw_depth(self, raw, scale: float):
+        """uint16 sensor depth -> metric f32 on device (same semantics as
+        datasets.canonical.load_depth_png: /scale, zero at >= max_depth)."""
+        if getattr(self, "_raw_depth_jit", None) is None:
+            max_depth = self.ray_max_dist
+
+            @jax.jit
+            def conv(raw, scale):
+                d = raw.astype(jnp.float32) / scale
+                return jnp.where(d < max_depth, d, 0.0)
+
+            self._raw_depth_jit = conv
+        return self._raw_depth_jit(raw, jnp.float32(scale))
 
     @property
     def stats(self) -> List[float]:
