@@ -43,6 +43,10 @@ def main():
         "model.voxel_size=0.01",
         "dataset.num_images=48",
         "dataset.img_res=[480,640]",
+        # sensor-format input: uint16 millimeter depth staged raw to the
+        # device (the reference's datasets are uint16 PNG; transferring f32
+        # through the tunnel would quadruple the staging traffic)
+        "dataset.stage_raw_depth=true",
     ])
     ckpt = "/root/reference/pretrained/pointnet_tcnn.ckpt"
     if os.path.exists(ckpt):

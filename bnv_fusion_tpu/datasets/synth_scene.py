@@ -278,6 +278,10 @@ class SyntheticDemoDataset:
         self.dimensions = np.array([2.6, 2.6, 1.6], np.float32)
         self.scan_id = getattr(d, "scan_id", "synthetic_demo")
         self.load_color = bool(getattr(d, "load_color", False))
+        # sensor-parity mode: quantize rendered depth to uint16 millimeters
+        # (the reference's datasets are uint16 PNG) and let the pipeline
+        # stage the raw array + convert on device
+        self.stage_raw_depth = bool(getattr(d, "stage_raw_depth", False))
         radius, height = 1.6, 1.0
         self.poses = []
         for i in range(self.n_frames):
@@ -301,8 +305,13 @@ class SyntheticDemoDataset:
             "T_wc": T_wc,
             "intr_mat": self.intr,
         }
+        if self.stage_raw_depth:
+            raw = np.round(depth * 1000.0).astype(np.uint16)
+            frame["depth_raw"] = raw
+            frame["depth_scale"] = 1000.0
+            frame["depth"] = raw.astype(np.float32) / 1000.0
         if self.load_color:
-            frame["rgb"] = render_color(depth, T_wc, self.intr)
+            frame["rgb"] = render_color(frame["depth"], T_wc, self.intr)
         return frame
 
     def gt_mesh(self, resolution: int = 192) -> Mesh:

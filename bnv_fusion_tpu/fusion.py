@@ -100,10 +100,10 @@ def fuse_frame(table: tbl.AnyTable, params: Dict[str, Any],
     if isinstance(table, (_dense.DenseIndexedTable,
                           _blocks.BlockIndexedTable)):
         if algorithm == "cell":
-            return fuse_frame_cellsort(table, params, pts_w, normals, valid,
-                                       bound_min, bound_max, voxel_size,
-                                       min_pts_in_grid, compute_dtype,
-                                       max_unique, max_unique_cells)
+            return fuse_frame_cellsort(
+                table, params, pts_w, normals, valid, bound_min, bound_max,
+                voxel_size, min_pts_in_grid, compute_dtype, max_unique,
+                max_unique_cells)
         return fuse_frame_sorted(table, params, pts_w, normals, valid,
                                  bound_min, bound_max, voxel_size,
                                  min_pts_in_grid, compute_dtype, max_unique)
@@ -249,6 +249,7 @@ def fuse_frame_sorted(table, params: Dict[str, Any],
         # count points that survived the bound mask (actually fused)
         n_valid_pts=jnp.sum(valid8[:, 0].astype(jnp.float32)))
     return table, stats
+
 
 
 def _integrate_unique(table, flat_u, cnt_u, sum_u, umask, n_unique, u,
@@ -415,7 +416,7 @@ def _cellsort_reduce(params, pts_w, normals, valid, bound_min, bound_max,
         ch_mean * gcnt.astype(jnp.float32)[:, None]    # [U_c, 8F]
     cells_dropped = jnp.maximum(n_groups - u_cell, 0)
 
-    # ---- stage 2: merge per-cell partial sums into corner voxel totals ----
+    # ---- stage 2: merge per-cell partials into corner voxel totals ----
     pattern = jnp.asarray(voxel._CORNER_PATTERN)       # [8,3]
     moff = jnp.stack([(mcode_u >> 2) & 1, (mcode_u >> 1) & 1, mcode_u & 1],
                      axis=-1)                          # [U_c,3]

@@ -168,7 +168,7 @@ class NeuralMap:
         m = self.config.model
         algorithm = str(getattr(m, "fuse_algorithm", "cell"))
         merged = bool(getattr(m, "fuse_batch_merge", True)) and \
-            algorithm == "cell"
+            algorithm.startswith("cell")
         if not merged:
             @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
             def step(table, tsdf_vol, params, depths, T_wcs, intrs,

@@ -101,7 +101,10 @@ def main():
 
     a, b = results["corner"][0], results["cell"][0]
     print(f"speedup corner->cell: {a/b:.2f}x; alloc parity: "
-          f"{results['corner'][1]} vs {results['cell'][1]}")
+          f"{[v[1] for v in results.values()]}")
+    if "cell-gather" in results:
+        print(f"speedup cell->cell-gather: "
+              f"{b/results['cell-gather'][0]:.2f}x")
 
 
 if __name__ == "__main__":
