@@ -134,8 +134,11 @@ def test_chained_cli_pipeline(tmp_path, pretrained_tcnn_path):
                              (480, 640))
         cv2.imwrite(str(raw / "chain_png" / "depth" / f"{i:06d}.png"),
                     (depth * 1000).astype(np.uint16))
-        cv2.imwrite(str(raw / "chain_png" / "color" / f"{i:06d}.png"),
-                    np.zeros((480, 640, 3), np.uint8))
+        # horizontal gradient so colored-mesh export is observable
+        grad = np.tile(np.linspace(0, 255, 640, dtype=np.uint8)[None, :,
+                                                                None],
+                       (480, 1, 3))
+        cv2.imwrite(str(raw / "chain_png" / "color" / f"{i:06d}.png"), grad)
 
     canon = tmp_path / "canon"
     assert gen_main(["scene3d", "--root", str(tmp_path / "raw"),
@@ -148,6 +151,10 @@ def test_chained_cli_pipeline(tmp_path, pretrained_tcnn_path):
         "dataset.scan_id=chain",
         "dataset.skip_images=1",
         "dataset.downsample_scale=0.25",   # 480x640 -> 120x160 on CPU
+        "dataset.stage_raw_depth=true",    # uint16 staging via the reader
+        "dataset.load_color=true",
+        "model.fuse_color=true",
+        "model.integrate_batch_size=4",    # merged-batch launch path
         "dataset.num_pixels=1024",
         "model.train_ray_splits=256",
         "model.voxel_size=0.04",
@@ -158,6 +165,10 @@ def test_chained_cli_pipeline(tmp_path, pretrained_tcnn_path):
     ]) == 0
     final = str(out_dir / "run_e2e" / "chain" / "final.ply")
     assert os.path.exists(final)
+    from bnv_fusion_tpu.mesh import load_ply
+    fm = load_ply(final)
+    assert fm.colors is not None and len(fm.colors) == len(fm.vertices)
+    assert fm.colors.std() > 5.0  # the gradient albedo came through
 
     json_out = str(tmp_path / "chain_eval.json")
     assert eval_main(["--pred", final, "--gt", gt_path,
