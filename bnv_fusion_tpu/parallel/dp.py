@@ -37,65 +37,92 @@ from bnv_fusion_tpu import tables as tbl
 def make_sharded_fuse_frame(mesh: Mesh, params: Dict[str, Any],
                             voxel_size: float, min_pts_in_grid: int,
                             example_table: tbl.AnyTable,
-                            axis: str = "dp"):
+                            axis: str = "dp",
+                            max_unique: int = 1 << 17,
+                            max_unique_cells: int | None = None):
     """Jitted fuse step with points sharded over ``axis``.
 
-    ``example_table`` provides the table pytree structure for the replicated
-    sharding specs (works with both the dense slot-map and hash tables).
+    TPU-first collective layout: each chip runs the cell-keyed sort-reduce
+    on ITS point shard (fusion._cellsort_reduce — the same kernel as the
+    single-chip path), then the COMPACTED per-voxel partials
+    (flat id, count, feature sum; [U] rows) are all-gathered and merged by
+    one small sort, and the replicated insert + running-mean update applies
+    once.  Compared to the earlier design (capacity-sized scatter-add
+    accumulators psum-ed across chips), ICI traffic drops from
+    2 x capacity x (F+1) floats per frame to D x U x (F+2) — and no
+    capacity-wide scatters run at all.  min_pts filtering applies to the
+    TOTAL per-voxel count after the merge (exact single-chip semantics).
+
+    Only slot-map tables (dense/blocks) are supported — the same routing as
+    the single-chip sort-reduce fast path.
+
     Signature: step(table, pts_w [N,3], normals [N,3], valid [N], bound_min,
     bound_max) -> (table, stats); N must divide the mesh size.
     """
+    n_dev = int(mesh.devices.size)
+    if not hasattr(example_table, "slot_map") and \
+            not hasattr(example_table, "n_voxels"):
+        raise ValueError(
+            "sharded fusion requires a slot-map table (dense/blocks) — the "
+            "same routing as the single-chip sort-reduce fast path")
 
     def local_fn(table, pts_w, normals, valid, bound_min, bound_max):
-        # pts_w/normals/valid arrive as this chip's shard
-        n = pts_w.shape[0]
-        cap = table.capacity
         fdim = table.feat_dims
-        corners, feats, valid8 = fusion.encode_corner_features(
-            params, pts_w, normals, valid, bound_min, bound_max, voxel_size)
+        n_xyz = table.n_xyz
+        n_vox = (table.n_voxels if hasattr(table, "n_voxels")
+                 else table.slot_map.shape[0])
+        (flat_u, cnt_u, sum_u, umask, n_unique, u, cells_dropped,
+         n_valid) = fusion._cellsort_reduce(
+            params, pts_w, normals, valid, bound_min, bound_max,
+            voxel_size, jnp.float32, max_unique, max_unique_cells,
+            n_xyz, n_vox, fdim)
 
-        keys_local = corners.reshape(n * 8, 3)
-        vmask_local = valid8.reshape(n * 8)
-        # replicate the insert so every chip's table stays identical
-        keys_all = jax.lax.all_gather(keys_local, axis, tiled=True)
-        vmask_all = jax.lax.all_gather(vmask_local, axis, tiled=True)
-        table, slots_all, ok_all = tbl.insert(table, keys_all, vmask_all)
+        # gather every chip's compacted partials (identical on all chips
+        # afterwards, so the table update below stays replicated)
+        key = jnp.where(umask, flat_u, n_vox)
+        keys_all = jax.lax.all_gather(key, axis)            # [D, U]
+        cnt_all = jax.lax.all_gather(cnt_u, axis)
+        sum_all = jax.lax.all_gather(sum_u, axis)
+        m3 = n_dev * u
+        ck = keys_all.reshape(m3)
+        cc = cnt_all.reshape(m3).astype(jnp.int32)          # exact ints
+        cs = sum_all.reshape(m3, fdim)
+        ops = jax.lax.sort((ck, cc) + tuple(cs[:, j] for j in range(fdim)),
+                           num_keys=1)
+        ck_s, cc_s = ops[0], ops[1]
+        cs_s = jnp.stack(ops[2:], axis=-1)
 
-        # local accumulation: this chip's corners are a contiguous slice of
-        # the all-gathered batch
-        idx_here = jax.lax.axis_index(axis) * (n * 8)
-        slots = jax.lax.dynamic_slice_in_dim(slots_all, idx_here, n * 8)
-        ok = jax.lax.dynamic_slice_in_dim(ok_all, idx_here, n * 8)
-        idx = jnp.where(ok, slots, cap)
-        feat_sum = jnp.zeros((cap, fdim), jnp.float32).at[idx].add(
-            feats.reshape(n * 8, fdim), mode="drop")
-        cnt = jnp.zeros((cap,), jnp.float32).at[idx].add(1.0, mode="drop")
-        feat_sum = jax.lax.psum(feat_sum, axis)
-        cnt = jax.lax.psum(cnt, axis)
+        prev = jnp.concatenate([jnp.full((1,), -1, ck_s.dtype), ck_s[:-1]])
+        bnd = ck_s != prev
+        ev = ck_s < n_vox
+        ccum = jnp.cumsum(cc_s)                             # int32, exact
+        nxt = jnp.concatenate([bnd[1:], jnp.ones((1,), bool)])
+        is_end = nxt & ev
+        n_uni = jnp.sum(is_end).astype(jnp.int32)
 
-        touched = cnt > 0
-        mean_feats = feat_sum / jnp.maximum(cnt, 1.0)[:, None]
-        new_w = jnp.minimum(cnt / 32.0, 1.0)
-        keep = touched & (cnt >= min_pts_in_grid)
-        old_w = table.weights
-        upd_w = old_w + new_w
-        upd_f = (table.features * old_w[:, None] +
-                 mean_feats * new_w[:, None]) / \
-            jnp.maximum(upd_w, 1e-12)[:, None]
-        table = table.replace(
-            features=jnp.where(keep[:, None], upd_f, table.features),
-            weights=jnp.where(keep, upd_w, table.weights),
-            # num_hits parity with fusion.fuse_frame: frames with a real
-            # (>= min_pts) observation — the default config gates meshing on
-            # it (mesh_require_observation), so the sharded path must track it
-            num_hits=jnp.where(keep, table.num_hits + 1.0, table.num_hits))
+        ub = min(max_unique, m3)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (m3, 1), 0)[:, 0]
+        end = jax.lax.sort(jnp.where(is_end, idx, m3))[:ub]
+        end = jnp.minimum(end, m3 - 1)
+        bmask = jnp.arange(ub) < jnp.minimum(n_uni, ub)
+        pend = jnp.concatenate([jnp.full((1,), -1, end.dtype), end[:-1]])
+        flat_b = ck_s[end]
+        clo = jnp.where(pend >= 0, ccum[jnp.maximum(pend, 0)], 0)
+        cnt_b = (ccum[end] - clo).astype(jnp.float32)
+        # feature sums: a voxel appears at most once per chip, so merge
+        # segments have <= D entries — exact windowed adds
+        seg_len = (end - pend).astype(jnp.int32)
+        S = jnp.zeros((ub, fdim), jnp.float32)
+        for i in range(n_dev):
+            take = jnp.maximum(end - i, 0)
+            S = S + jnp.where((i < seg_len)[:, None], cs_s[take], 0.0)
 
-        n_touched = jnp.sum(touched.astype(jnp.float32))
-        stats = fusion.FrameStats(
-            n_avg_pts=jnp.sum(cnt) / jnp.maximum(n_touched, 1.0),
-            n_touched=n_touched,
-            n_valid_pts=jax.lax.psum(jnp.sum(valid8[:, 0].astype(jnp.float32)), axis),
-        )
+        dropped_shard = jax.lax.psum(
+            jnp.maximum(n_unique - u, 0) + cells_dropped, axis)
+        table, stats = fusion._integrate_unique(
+            table, flat_b, cnt_b, S, bmask, n_uni, ub, min_pts_in_grid,
+            extra_overflow=dropped_shard.astype(jnp.int32))
+        stats = stats._replace(n_valid_pts=jax.lax.psum(n_valid, axis))
         return table, stats
 
     table_spec = tbl.replicated_spec(example_table)

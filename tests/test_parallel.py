@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from bnv_fusion_tpu import fusion, nn as bnn, optimize, render, table as tbl
+from bnv_fusion_tpu import fusion, nn as bnn, optimize, render, tables as tbl
 from bnv_fusion_tpu.parallel import (make_mesh, make_sharded_fuse_frame,
                                      make_sharded_optimize_step)
 
@@ -39,7 +39,9 @@ def test_sharded_fuse_matches_single_device(rng, params):
     vs, min_pts = 0.1, 2
     valid = jnp.ones((len(pts),), bool)
 
-    t1 = tbl.create_table(4096, 8)
+    # production default: the dense slot-map table (the sharded fuse is
+    # slot-map only, same routing as the single-chip fast path)
+    t1 = tbl.create_table(8, 4096, n_xyz=[24, 24, 24])
     t1, s1 = fusion.fuse_frame(
         t1, params, jnp.asarray(pts), jnp.asarray(normals), valid,
         jnp.asarray(bound_min), jnp.asarray(bound_max), vs, min_pts)
@@ -47,7 +49,7 @@ def test_sharded_fuse_matches_single_device(rng, params):
     mesh = make_mesh(8)
     step = make_sharded_fuse_frame(mesh, params, vs, min_pts,
                                    example_table=t1)
-    t2 = tbl.create_table(4096, 8)
+    t2 = tbl.create_table(8, 4096, n_xyz=[24, 24, 24])
     t2, s2 = step(t2, jnp.asarray(pts), jnp.asarray(normals), valid,
                   jnp.asarray(bound_min), jnp.asarray(bound_max))
 
@@ -73,7 +75,7 @@ def test_sharded_optimize_step_runs_and_matches_grads(rng, params):
     # produces gradient flow (the semantics of the mask are covered in
     # test_fusion.py)
     vs, min_pts = 0.1, 0
-    t = tbl.create_table(4096, 8)
+    t = tbl.create_table(8, 4096, n_xyz=[24, 24, 24])
     t, _ = fusion.fuse_frame(
         t, params, jnp.asarray(pts), jnp.asarray(normals),
         jnp.ones((len(pts),), bool), jnp.asarray(bound_min),
