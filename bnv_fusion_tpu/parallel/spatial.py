@@ -88,8 +88,17 @@ def _table_specs(axis: str):
 
 def make_spatial_fuse_frame(mesh: Mesh, params: Dict[str, Any],
                             voxel_size: float, min_pts_in_grid: int,
-                            max_unique: int = 1 << 17, axis: str = "sp"):
+                            max_unique: int = 1 << 17, axis: str = "sp",
+                            max_unique_cells: int | None = None):
     """Jitted fuse step over a spatially sharded table.
+
+    TPU-first collective layout (matches parallel/dp.py): each chip runs
+    the cell-keyed sort-reduce on its POINT shard
+    (fusion._cellsort_reduce), all-gathers only the COMPACTED per-voxel
+    partials (D x U x (F+2) floats instead of the raw D x 8N x (F+1)
+    corner stream — ~14x less ICI traffic at 480x640), filters them by
+    slab ownership and merges with one small sort; the slab-local slot
+    allocation + running-mean update is unchanged.
 
     Signature: step(table, pts_w [N,3], normals [N,3], valid [N], bound_min,
     bound_max) -> (table, stats).  N must divide the mesh size.
@@ -102,74 +111,75 @@ def make_spatial_fuse_frame(mesh: Mesh, params: Dict[str, Any],
         nv_shard = table.slot_map.shape[0]
         me = jax.lax.axis_index(axis)
         lo = me * nv_shard
+        n_vox_global = nv_shard * d
+        fdim = table.feat_dims
 
-        corners, feats, valid8 = fusion.encode_corner_features(
-            params, pts_w, normals, valid, bound_min, bound_max, voxel_size)
-        n = pts_w.shape[0]
-        keys = corners.reshape(n * 8, 3)
-        ok = valid8.reshape(n * 8)
-        inside = jnp.all((keys >= 0) & (keys < n_xyz), axis=-1) & ok
-        flat = (keys[:, 0] * (n_xyz[1] * n_xyz[2]) + keys[:, 1] * n_xyz[2] +
-                keys[:, 2])
-        # zero invalid entries (NaN-depth guard, same as fuse_frame_sorted)
-        f8 = jnp.where(inside[:, None], feats.reshape(n * 8, -1), 0.0)
+        (flat_u, cnt_u, sum_u, umask, n_uni_shard, u, cells_dropped,
+         n_valid) = fusion._cellsort_reduce(
+            params, pts_w, normals, valid, bound_min, bound_max,
+            voxel_size, jnp.float32, max_unique, max_unique_cells,
+            n_xyz, n_vox_global, fdim)
 
-        # assemble the full frame's entries on every device (compute was DP)
-        flat_all = jax.lax.all_gather(jnp.where(inside, flat, -1), axis,
-                                      tiled=True)
-        f8_all = jax.lax.all_gather(f8, axis, tiled=True)
+        key = jnp.where(umask, flat_u, n_vox_global)
+        keys_all = jax.lax.all_gather(key, axis)            # [D, U]
+        cnt_all = jax.lax.all_gather(cnt_u, axis)
+        sum_all = jax.lax.all_gather(sum_u, axis)
+        m3 = d * u
+        ka = keys_all.reshape(m3)
+        # ownership filter -> slab-local flat ids; non-owned = sentinel
+        local = ka - lo
+        owned = (local >= 0) & (local < nv_shard) & (ka < n_vox_global)
+        lk = jnp.where(owned, local, nv_shard).astype(jnp.int32)
+        cc = jnp.where(owned, cnt_all.reshape(m3), 0.0).astype(jnp.int32)
+        cs = jnp.where(owned[:, None], sum_all.reshape(m3, fdim), 0.0)
 
-        # ownership filter -> shard-local flat ids; non-owned = sentinel
-        local_flat = flat_all - lo
-        owned = (local_flat >= 0) & (local_flat < nv_shard) & (flat_all >= 0)
-        m = flat_all.shape[0]
-        local_flat = jnp.where(owned, local_flat, nv_shard)
-
-        # sort-reduce on the local slab (same algorithm as fuse_frame_sorted)
-        fdim = f8_all.shape[-1]
-        ops = jax.lax.sort((local_flat.astype(jnp.int32),) +
-                           tuple(f8_all[:, j] for j in range(fdim)),
+        ops = jax.lax.sort((lk, cc) + tuple(cs[:, j] for j in range(fdim)),
                            num_keys=1)
-        flat_s = ops[0]
-        feats_s = jnp.stack(ops[1:], axis=-1)
-        prev = jnp.concatenate([jnp.full((1,), -1, flat_s.dtype),
-                                flat_s[:-1]])
-        boundary = flat_s != prev
-        entry_valid = flat_s < nv_shard
-        ch_mean = jnp.mean(feats_s, axis=0, keepdims=True)
-        cum = jnp.cumsum(feats_s - ch_mean, axis=0)
-        nxt = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
-        is_end = nxt & entry_valid
+        lk_s, cc_s = ops[0], ops[1]
+        cs_s = jnp.stack(ops[2:], axis=-1)
+        prev = jnp.concatenate([jnp.full((1,), -1, lk_s.dtype), lk_s[:-1]])
+        bnd = lk_s != prev
+        ev = lk_s < nv_shard
+        ccum = jnp.cumsum(cc_s)                             # int32, exact
+        nxt = jnp.concatenate([bnd[1:], jnp.ones((1,), bool)])
+        is_end = nxt & ev
         n_unique = jnp.sum(is_end).astype(jnp.int32)
-        end_pos = jnp.nonzero(is_end, size=max_unique, fill_value=m - 1)[0]
-        umask = jnp.arange(max_unique) < jnp.minimum(n_unique, max_unique)
-        prev_end = jnp.concatenate([jnp.full((1,), -1, end_pos.dtype),
-                                    end_pos[:-1]])
-        flat_u = flat_s[end_pos]
-        cnt_u = (end_pos - prev_end).astype(jnp.float32)
-        cum_lo = jnp.where((prev_end >= 0)[:, None],
-                           cum[jnp.maximum(prev_end, 0)], 0.0)
-        sum_u = cum[end_pos] - cum_lo + ch_mean * cnt_u[:, None]
+
+        ub = min(max_unique, m3)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (m3, 1), 0)[:, 0]
+        end = jax.lax.sort(jnp.where(is_end, idx, m3))[:ub]
+        end = jnp.minimum(end, m3 - 1)
+        bmask = jnp.arange(ub) < jnp.minimum(n_unique, ub)
+        pend = jnp.concatenate([jnp.full((1,), -1, end.dtype), end[:-1]])
+        flat_b = jnp.where(bmask, lk_s[end], nv_shard)
+        clo = jnp.where(pend >= 0, ccum[jnp.maximum(pend, 0)], 0)
+        cnt_b = (ccum[end] - clo).astype(jnp.float32)
+        # a voxel appears at most once per chip: segments <= D, exact adds
+        seg_len = (end - pend).astype(jnp.int32)
+        S = jnp.zeros((ub, fdim), jnp.float32)
+        for i in range(d):
+            take = jnp.maximum(end - i, 0)
+            S = S + jnp.where((i < seg_len)[:, None], cs_s[take], 0.0)
 
         # shard-local allocation (slot_map shard holds local slot ids)
         cap_shard = table.features.shape[0]
-        flat_safe = jnp.minimum(flat_u, nv_shard - 1)
-        existing = jnp.where(umask, table.slot_map[flat_safe], -1)
-        is_new = umask & (existing < 0)
+        flat_safe = jnp.minimum(flat_b, nv_shard - 1)
+        existing = jnp.where(bmask, table.slot_map[flat_safe], -1)
+        is_new = bmask & (existing < 0)
         rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
         n_alloc = table.n_alloc[0]
         assign = n_alloc + rank
         fits = is_new & (assign < cap_shard)
         slot_map = table.slot_map.at[
-            jnp.where(fits, flat_u, nv_shard)].set(
+            jnp.where(fits, flat_b, nv_shard)].set(
             jnp.where(fits, assign, 0), mode="drop", unique_indices=True)
         slots = jnp.where(fits, assign, existing)
         ok_u = slots >= 0
         slots = jnp.maximum(slots, 0)
 
-        mean_u = sum_u / jnp.maximum(cnt_u, 1.0)[:, None]
-        new_w = jnp.minimum(cnt_u / 32.0, 1.0)
-        keep = umask & ok_u & (cnt_u >= min_pts_in_grid)
+        mean_u = S / jnp.maximum(cnt_b, 1.0)[:, None]
+        new_w = jnp.minimum(cnt_b / 32.0, 1.0)
+        keep = bmask & ok_u & (cnt_b >= min_pts_in_grid)
         old_w = jnp.where(keep, table.weights[slots], 0.0)
         old_f = jnp.where(keep[:, None], table.features[slots], 0.0)
         upd_w = old_w + new_w
@@ -186,22 +196,23 @@ def make_spatial_fuse_frame(mesh: Mesh, params: Dict[str, Any],
         num_hits = table.num_hits.at[widx].set(old_h + 1.0, mode="drop",
                                                unique_indices=True)
         n_new = jnp.sum(fits).astype(jnp.int32)
+        dropped = jnp.maximum(n_unique - ub, 0) + \
+            jnp.sum(is_new & ~fits).astype(jnp.int32)
         table = table.replace(
             slot_map=slot_map, features=features,
             weights=weights, num_hits=num_hits,
             n_alloc=(table.n_alloc + n_new)[:1],
-            overflow=(table.overflow +
-                      jnp.sum(is_new & ~fits).astype(jnp.int32) +
-                      jnp.maximum(n_unique - max_unique, 0))[:1])
+            overflow=(table.overflow + dropped +
+                      jnp.maximum(n_uni_shard - u, 0) +
+                      cells_dropped.astype(jnp.int32))[:1])
 
         total_unique = jax.lax.psum(n_unique, axis)
-        total_cnt = jax.lax.psum(jnp.sum(jnp.where(umask, cnt_u, 0.0)), axis)
+        total_cnt = jax.lax.psum(jnp.sum(jnp.where(bmask, cnt_b, 0.0)), axis)
         stats = fusion.FrameStats(
             n_avg_pts=total_cnt / jnp.maximum(
                 total_unique.astype(jnp.float32), 1.0),
             n_touched=total_unique.astype(jnp.float32),
-            n_valid_pts=jax.lax.psum(
-                jnp.sum(valid8[:, 0].astype(jnp.float32)), axis))
+            n_valid_pts=jax.lax.psum(n_valid, axis))
         return table, stats
 
     specs = _table_specs(axis)
