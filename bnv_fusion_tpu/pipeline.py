@@ -98,7 +98,44 @@ class NeuralMap:
     # local fusion
     # ------------------------------------------------------------------
 
-    def _fuse_step_body(self):
+    def _tsdf_window_for(self, frame) -> tuple | None:
+        """Static frustum window for the TSDF prior, when it pays.
+
+        Windowed integration is EXACT (tsdf.frustum_window_shape); it is
+        enabled when the frustum covers < 70% of the prior grid (big
+        scenes).  The window shape is baked from the first frame's
+        intrinsics; integrate() guards that later frames' intrinsics match.
+        """
+        if frame is None or not bool(getattr(self.config.model,
+                                             "tsdf_frustum_window", True)):
+            return None
+        intr = np.asarray(frame["intr_mat"], np.float32)
+        hw = np.asarray(frame["depth"]).shape
+        shape = self.tsdf_vol.sdf.shape
+        window = tsdf.frustum_window_shape(intr, hw, self.ray_max_dist,
+                                           self.tsdf_voxel_size, shape)
+        if np.prod(window) >= 0.7 * np.prod(shape):
+            return None
+        self._window_intr = intr
+        return window
+
+    def _check_window_intr(self, frames):
+        """Rebuild without the frustum window if intrinsics drift (the
+        static window was sized for the build-time intrinsics)."""
+        if getattr(self, "_window_intr", None) is None:
+            return
+        for f in frames:
+            intr = np.asarray(f["intr_mat"], np.float32)
+            if np.abs(intr - self._window_intr).max() > \
+                    1e-2 * max(self._window_intr[0, 0],
+                               self._window_intr[1, 1]):
+                self._window_intr = None
+                self._fuse_step = None
+                self._fuse_batch_steps = {}
+                self._window_disabled = True
+                return
+
+    def _fuse_step_body(self, frame0=None):
         """The per-frame fusion computation (unjitted; shared by the
         per-frame and batched launchers)."""
         vs = self.voxel_size
@@ -120,6 +157,9 @@ class NeuralMap:
             self.config.model, "fuse_dtype", "float32")) == "bfloat16" \
             else jnp.float32
         algorithm = str(getattr(self.config.model, "fuse_algorithm", "cell"))
+        window = (None if getattr(self, "_window_disabled", False)
+                  else self._tsdf_window_for(frame0))
+        max_depth = self.ray_max_dist
 
         fuse_color = self.fuse_color
 
@@ -153,18 +193,24 @@ class NeuralMap:
                 vs, min_pts, compute_dtype=fuse_dtype,
                 max_unique=max_unique, algorithm=algorithm,
                 max_unique_cells=mu_cells)
-            tsdf_vol = tsdf.integrate(tsdf_vol, depth, intr, T_wc, tsdf_vs,
-                                      rgb=rgb if fuse_color else None)
+            if window is not None:
+                tsdf_vol = tsdf.integrate_windowed(
+                    tsdf_vol, depth, intr, T_wc, tsdf_vs, window, max_depth,
+                    rgb=rgb if fuse_color else None)
+            else:
+                tsdf_vol = tsdf.integrate(
+                    tsdf_vol, depth, intr, T_wc, tsdf_vs,
+                    rgb=rgb if fuse_color else None)
             return table, tsdf_vol, stats
 
         return body
 
-    def _build_fuse_step(self):
-        body = self._fuse_step_body()
+    def _build_fuse_step(self, frame0=None):
+        body = self._fuse_step_body(frame0)
         return jax.jit(body, donate_argnums=(0, 1))
 
-    def _build_fuse_batch_step(self, k: int):
-        single = self._fuse_step_body()
+    def _build_fuse_batch_step(self, k: int, frame0=None):
+        single = self._fuse_step_body(frame0)
         m = self.config.model
         algorithm = str(getattr(m, "fuse_algorithm", "cell"))
         merged = bool(getattr(m, "fuse_batch_merge", True)) and \
@@ -206,6 +252,9 @@ class NeuralMap:
             m, "fuse_dtype", "float32")) == "bfloat16" else jnp.float32
         frame_points = self._frame_points
         fuse_color = self.fuse_color
+        window = (None if getattr(self, "_window_disabled", False)
+                  else self._tsdf_window_for(frame0))
+        max_depth = self.ray_max_dist
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(table, tsdf_vol, params, depths, T_wcs, intrs,
@@ -226,8 +275,13 @@ class NeuralMap:
             def tsdf_body(vol, frame):
                 depth, T_wc, intr = frame[0], frame[1], frame[2]
                 rgb = frame[3] if len(frame) > 3 else None
-                vol = tsdf.integrate(vol, depth, intr, T_wc, tsdf_vs,
-                                     rgb=rgb if fuse_color else None)
+                if window is not None:
+                    vol = tsdf.integrate_windowed(
+                        vol, depth, intr, T_wc, tsdf_vs, window, max_depth,
+                        rgb=rgb if fuse_color else None)
+                else:
+                    vol = tsdf.integrate(vol, depth, intr, T_wc, tsdf_vs,
+                                         rgb=rgb if fuse_color else None)
                 return vol, None
 
             xs = (depths, T_wcs, intrs) if rgbs is None else \
@@ -252,12 +306,14 @@ class NeuralMap:
         key = ("batch", k)
         if getattr(self, "_fuse_batch_steps", None) is None:
             self._fuse_batch_steps = {}
-        if key not in self._fuse_batch_steps:
-            self._fuse_batch_steps[key] = self._build_fuse_batch_step(k)
         keep = [f for f in frames
                 if not np.any(np.isnan(np.asarray(f["T_wc"])))]
         if not keep:
             return
+        self._check_window_intr(keep)
+        if key not in self._fuse_batch_steps:
+            self._fuse_batch_steps[key] = self._build_fuse_batch_step(
+                k, keep[0])
         if all(f.get("depth_raw") is not None for f in keep):
             # stage the sensor-native uint16 depth (4x less tunnel traffic
             # than f32) and convert on device; the converted f32 stays
@@ -293,12 +349,13 @@ class NeuralMap:
     def integrate(self, frame: Dict[str, Any]):
         """Fuse one frame (reference run_e2e.py:78-109) and keep its raw
         depth + pose for the global optimization ray pool."""
-        if self._fuse_step is None:
-            self._fuse_step = self._build_fuse_step()
         # NaN poses are skipped defensively (reference run_e2e.py:121,253);
         # checked on host input to avoid a device sync in the hot loop
         if np.any(np.isnan(np.asarray(frame["T_wc"]))):
             return None
+        self._check_window_intr([frame])
+        if self._fuse_step is None:
+            self._fuse_step = self._build_fuse_step(frame)
         depth = jnp.asarray(frame["depth"], jnp.float32)
         T_wc = jnp.asarray(frame["T_wc"], jnp.float32)
         intr = jnp.asarray(frame["intr_mat"], jnp.float32)

@@ -290,3 +290,85 @@ def integrate_batch(vol: TSDFVolume, depths: jnp.ndarray, intrs: jnp.ndarray,
         weight=jnp.where(touched, w_new, vol.weight),
         color=color,
     )
+
+
+def frustum_window_shape(intr: np.ndarray, img_hw, max_depth: float,
+                         voxel_size: float, vol_shape) -> Tuple[int, int, int]:
+    """Static voxel extent of the camera frustum's AABB (+1 voxel margin),
+    capped at the volume shape.
+
+    A voxel can only receive a TSDF update if it projects into the image
+    with z in (0, max_depth + trunc] (depth values beyond max_depth are
+    zeroed by the loaders and sdf validity requires z <= depth + trunc), so
+    a window of this extent positioned over the frustum covers every
+    updatable voxel — windowed integration is EXACT, not approximate.
+    """
+    h, w = img_hw
+    zmax = max_depth + 5.0 * voxel_size
+    xs = (np.array([0.0, w - 1.0]) - intr[0, 2]) / intr[0, 0] * zmax
+    ys = (np.array([0.0, h - 1.0]) - intr[1, 2]) / intr[1, 1] * zmax
+    # frustum corner points in CAMERA space (apex at origin)
+    pts = np.array([[x, y, zmax] for x in xs for y in ys] + [[0, 0, 0]])
+    extent = pts.max(0) - pts.min(0)
+    # the camera may be oriented arbitrarily: the world AABB of a rotated
+    # box is bounded by its diagonal per axis
+    diag = float(np.linalg.norm(extent))
+    n = int(np.ceil(diag / voxel_size)) + 2
+    return tuple(min(n, int(s)) for s in vol_shape)
+
+
+def _frustum_start(vol: TSDFVolume, depth_hw, intr, T_wc, voxel_size: float,
+                   max_depth: float, window) -> jnp.ndarray:
+    """Dynamic window origin (voxel coords), clamped so the window covers
+    frustum-AABB intersect grid (see frustum_window_shape)."""
+    h, w = depth_hw
+    zmax = max_depth + 5.0 * voxel_size
+    xs = (jnp.array([0.0, w - 1.0]) - intr[0, 2]) / intr[0, 0] * zmax
+    ys = (jnp.array([0.0, h - 1.0]) - intr[1, 2]) / intr[1, 1] * zmax
+    cam = jnp.stack(
+        [jnp.array([x, y, zmax]) for x in xs for y in ys] +
+        [jnp.zeros(3)])
+    world = cam @ T_wc[:3, :3].T + T_wc[:3, 3]
+    lo = (jnp.min(world, axis=0) - vol.origin) / voxel_size - 1.0
+    dims = jnp.asarray(vol.sdf.shape)
+    wnd = jnp.asarray(window)
+    start = jnp.clip(jnp.floor(lo).astype(jnp.int32), 0, dims - wnd)
+    return start
+
+
+def integrate_windowed(vol: TSDFVolume, depth: jnp.ndarray, intr: jnp.ndarray,
+                       T_wc: jnp.ndarray, voxel_size: float,
+                       window: Tuple[int, int, int], max_depth: float,
+                       obs_weight: float = 1.0,
+                       rgb: jnp.ndarray | None = None) -> TSDFVolume:
+    """``integrate`` restricted to the frustum window — identical results
+    (voxels outside the window cannot receive updates; see
+    frustum_window_shape), but cost scales with the window instead of the
+    whole grid.  Pays off when the scene is much larger than the frustum
+    (ScanNet-scale grids); for small scenes use ``integrate``.
+    """
+    start = _frustum_start(vol, depth.shape, intr, T_wc, voxel_size,
+                           max_depth, window)
+    s0, s1, s2 = start[0], start[1], start[2]
+    zero = jnp.int32(0)
+    sub = TSDFVolume(
+        sdf=jax.lax.dynamic_slice(vol.sdf, (s0, s1, s2), window),
+        weight=jax.lax.dynamic_slice(vol.weight, (s0, s1, s2), window),
+        origin=vol.origin + start.astype(jnp.float32) * voxel_size,
+        color=(None if vol.color is None else
+               jax.lax.dynamic_slice(vol.color, (s0, s1, s2, zero),
+                                     window + (3,))),
+    )
+    # __wrapped__: run integrate's body inline (the jitted wrapper would
+    # warn about its donation annotation inside an outer jit)
+    sub = integrate.__wrapped__(sub, depth, intr, T_wc, voxel_size,
+                                obs_weight=obs_weight, rgb=rgb)
+    out = vol.replace(
+        sdf=jax.lax.dynamic_update_slice(vol.sdf, sub.sdf, (s0, s1, s2)),
+        weight=jax.lax.dynamic_update_slice(vol.weight, sub.weight,
+                                            (s0, s1, s2)),
+        color=(None if vol.color is None else
+               jax.lax.dynamic_update_slice(vol.color, sub.color,
+                                            (s0, s1, s2, zero))),
+    )
+    return out

@@ -124,3 +124,85 @@ def test_integrate_batch_matches_sequential_tsdf():
     col_diff = np.abs(np.asarray(vol_a.color) -
                       np.asarray(vol_b.color)).max(-1)
     assert (col_diff > 1e-2).mean() < 0.01
+
+
+def test_frustum_windowed_integrate_matches_dense():
+    """Windowed TSDF integration is exact: identical volume to the dense
+    update, with the window positioned from an arbitrary pose."""
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu import tsdf
+    from bnv_fusion_tpu.datasets.synth_scene import look_at_pose
+
+    rng = np.random.RandomState(7)
+    dims = np.array([6.0, 6.0, 3.0], np.float32)  # scene >> frustum
+    vs = 0.1
+    h, w = 40, 50
+    intr = np.array([[45.0, 0, w / 2], [0, 45.0, h / 2], [0, 0, 1]],
+                    np.float32)
+    max_depth = 1.5
+    window = tsdf.frustum_window_shape(intr, (h, w), max_depth, vs,
+                                       (61, 61, 31))
+    vol_shape = tsdf.create_tsdf_volume(dims, vs)[0].sdf.shape
+    assert all(wd < s for wd, s in zip(window, vol_shape)), \
+        (window, vol_shape)
+
+    for trial in range(3):
+        eye = rng.uniform(-1.5, 1.5, 3).astype(np.float64)
+        target = rng.uniform(-0.5, 0.5, 3)
+        T_wc = look_at_pose(eye, target).astype(np.float32)
+        depth = (0.5 + rng.rand(h, w).astype(np.float32))
+        depth[depth > max_depth] = 0.0
+        depth[rng.rand(h, w) < 0.1] = 0.0
+
+        va, _ = tsdf.create_tsdf_volume(dims, vs)
+        vb, _ = tsdf.create_tsdf_volume(dims, vs)
+        va = tsdf.integrate(va, jnp.asarray(depth), jnp.asarray(intr),
+                            jnp.asarray(T_wc), vs)
+        vb = tsdf.integrate_windowed(
+            vb, jnp.asarray(depth), jnp.asarray(intr), jnp.asarray(T_wc),
+            vs, window, max_depth)
+        np.testing.assert_array_equal(np.asarray(va.weight),
+                                      np.asarray(vb.weight))
+        np.testing.assert_allclose(np.asarray(va.sdf), np.asarray(vb.sdf),
+                                   atol=1e-6)
+
+
+def test_pipeline_uses_frustum_window_on_big_scenes(pretrained_tcnn_path):
+    """A scene much larger than the frustum activates windowed TSDF
+    integration in the pipeline with identical prior volumes."""
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu.checkpoint import load_pretrained
+    from bnv_fusion_tpu.config import load_config
+    from bnv_fusion_tpu.datasets import get_dataset
+    from bnv_fusion_tpu.pipeline import NeuralMap
+
+    base = [
+        "dataset=synthetic_demo", "dataset.img_res=[60,80]",
+        "dataset.num_images=4", "model.voxel_size=0.08",
+        "model.table_capacity=131072", "model.min_pts_in_grid=3",
+        "model.ray_tracer.ray_max_dist=2.0",
+    ]
+    params = load_pretrained(pretrained_tcnn_path)
+    cfg_w = load_config(base)
+    cfg_d = load_config(base + ["model.tsdf_frustum_window=false"])
+    ds = get_dataset(cfg_w, "val")
+    big_dims = np.array([8.0, 8.0, 3.0], np.float32)
+
+    nm_w = NeuralMap(big_dims, cfg_w, params)
+    nm_d = NeuralMap(big_dims, cfg_d, params)
+    frames = [ds[i] for i in range(4)]
+    nm_w.integrate_batch(frames[:2])
+    nm_d.integrate_batch(frames[:2])
+    for f in frames[2:]:
+        nm_w.integrate(f)
+        nm_d.integrate(f)
+    # the window actually engaged (frustum @2m << 8m scene)
+    assert nm_w._tsdf_window_for(frames[0]) is not None
+    np.testing.assert_array_equal(np.asarray(nm_w.tsdf_vol.weight),
+                                  np.asarray(nm_d.tsdf_vol.weight))
+    # the windowed path computes world positions from a shifted origin: one
+    # extra f32 add changes the last bit of a handful of projections
+    np.testing.assert_allclose(np.asarray(nm_w.tsdf_vol.sdf),
+                               np.asarray(nm_d.tsdf_vol.sdf), atol=1e-5)
