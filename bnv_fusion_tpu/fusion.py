@@ -11,10 +11,14 @@ program with static shapes:
 2. expand each point to its 8 voxel corners; encode (relative-offset, normal)
    6-vectors with the PointNet MLP (MXU matmuls over an [8N, 6] batch),
 3. reduce the 8N (voxel id, feature) stream to per-voxel sums — on dense
-   slot-map tables via the sort-reduce path (fuse_frame_sorted: lexicographic
-   sort + mean-centered cumsum + segment-end compaction; chosen from measured
-   v5e costs where scatters are ~60ns/element and sorts nearly free), on hash
-   tables via capacity-sized scatter accumulators,
+   slot-map tables via the cell-keyed two-stage sort-reduce (default,
+   fuse_frame_cellsort: sort the N points by containing cell, encode after
+   the sort, one segmented scan over all 8 corner channels, then a small
+   merge sort from cells to corner voxels; the corner-keyed single sort
+   remains as fuse_frame_sorted / model.fuse_algorithm=corner), on hash
+   tables via capacity-sized scatter accumulators.  Batched launches fold
+   K frames into ONE table update (fuse_frames_merged: the running mean is
+   associative), which removed the largest per-frame cost on v5e,
 4. loop-free slot allocation for new voxels,
 5. per-touched-slot running mean: weight = clip(count/32, 1), drop voxels
    with fewer than min_pts_in_grid points (reference semantics exactly).
@@ -542,7 +546,6 @@ def fuse_frames_merged(table, params: Dict[str, Any],
     bmask = jnp.arange(ub) < jnp.minimum(n_uniq_b, ub)
     pend = jnp.concatenate([jnp.full((1,), -1, end.dtype), end[:-1]])
     flat_b = key_s[end]
-    seg_n = (end - pend).astype(jnp.float32)
     wlo = jnp.where(pend >= 0, wcum[jnp.maximum(pend, 0)], 0)
     W = (wcum[end] - wlo).astype(jnp.float32) / 32.0   # [UB] exact
     hlo = jnp.where(pend >= 0, hcum[jnp.maximum(pend, 0)], 0)
