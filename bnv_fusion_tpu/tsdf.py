@@ -305,15 +305,21 @@ def frustum_window_shape(intr: np.ndarray, img_hw, max_depth: float,
     """
     h, w = img_hw
     zmax = max_depth + 5.0 * voxel_size
-    xs = (np.array([0.0, w - 1.0]) - intr[0, 2]) / intr[0, 0] * zmax
-    ys = (np.array([0.0, h - 1.0]) - intr[1, 2]) / intr[1, 1] * zmax
-    # frustum corner points in CAMERA space (apex at origin)
-    pts = np.array([[x, y, zmax] for x in xs for y in ys] + [[0, 0, 0]])
-    extent = pts.max(0) - pts.min(0)
-    # the camera may be oriented arbitrarily: the world AABB of a rotated
-    # box is bounded by its diagonal per axis
-    diag = float(np.linalg.norm(extent))
-    n = int(np.ceil(diag / voxel_size)) + 2
+    # pixel bounds are -0.5 / dim-0.5: the update samples depth at
+    # ROUNDED pixel coords, so px in [-0.5, 0) still lands in pixel 0
+    xs = (np.array([-0.5, w - 0.5]) - intr[0, 2]) / intr[0, 0] * zmax
+    ys = (np.array([-0.5, h - 0.5]) - intr[1, 2]) / intr[1, 1] * zmax
+    # the camera may be oriented arbitrarily, so the static per-axis window
+    # size is the frustum's MINIMAL ENCLOSING SPHERE diameter
+    # (rotation-invariant; ~35% tighter per axis than the aligned-box
+    # diagonal).  For the view pyramid (apex at origin, far-plane corner
+    # ring at radius r2, depth zmax) the optimal center sits on the axis at
+    # c = (r2^2 + zmax^2) / (2 zmax) with radius c (when c <= zmax;
+    # otherwise the far ring's own circumradius governs).
+    r2_sq = float(max(abs(x) for x in xs)) ** 2 +         float(max(abs(y) for y in ys)) ** 2
+    c = (r2_sq + zmax * zmax) / (2.0 * zmax)
+    radius = c if c <= zmax else np.sqrt(r2_sq)
+    n = int(np.ceil(2.0 * radius / voxel_size)) + 2
     return tuple(min(n, int(s)) for s in vol_shape)
 
 
@@ -323,15 +329,17 @@ def _frustum_start(vol: TSDFVolume, depth_hw, intr, T_wc, voxel_size: float,
     frustum-AABB intersect grid (see frustum_window_shape)."""
     h, w = depth_hw
     zmax = max_depth + 5.0 * voxel_size
-    xs = (jnp.array([0.0, w - 1.0]) - intr[0, 2]) / intr[0, 0] * zmax
-    ys = (jnp.array([0.0, h - 1.0]) - intr[1, 2]) / intr[1, 1] * zmax
-    cam = jnp.stack(
-        [jnp.array([x, y, zmax]) for x in xs for y in ys] +
-        [jnp.zeros(3)])
-    world = cam @ T_wc[:3, :3].T + T_wc[:3, 3]
-    lo = (jnp.min(world, axis=0) - vol.origin) / voxel_size - 1.0
-    dims = jnp.asarray(vol.sdf.shape)
+    xs = (jnp.array([-0.5, w - 0.5]) - intr[0, 2]) / intr[0, 0] * zmax
+    ys = (jnp.array([-0.5, h - 0.5]) - intr[1, 2]) / intr[1, 1] * zmax
+    # position the window on the frustum's enclosing-sphere CENTER (the
+    # static shape is the sphere's diameter, see frustum_window_shape)
+    r2_sq = jnp.maximum(jnp.abs(xs[0]), jnp.abs(xs[1])) ** 2 +         jnp.maximum(jnp.abs(ys[0]), jnp.abs(ys[1])) ** 2
+    c = (r2_sq + zmax * zmax) / (2.0 * zmax)
+    center_cam = jnp.array([0.0, 0.0, 1.0]) * jnp.minimum(c, zmax)
+    center_w = center_cam @ T_wc[:3, :3].T + T_wc[:3, 3]
     wnd = jnp.asarray(window)
+    lo = (center_w - vol.origin) / voxel_size -         wnd.astype(jnp.float32) / 2.0
+    dims = jnp.asarray(vol.sdf.shape)
     start = jnp.clip(jnp.floor(lo).astype(jnp.int32), 0, dims - wnd)
     return start
 

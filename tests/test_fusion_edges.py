@@ -97,3 +97,59 @@ def test_nan_depth_points_masked():
     t2, stats = _fuse(t, pts, normals, valid)
     assert np.isfinite(np.asarray(t2.features)).all()
     assert float(stats.n_valid_pts) == 1
+
+
+def test_merged_batch_overflow_paths(pretrained_tcnn_path):
+    """Capacity and merge-width overflow in fuse_frames_merged: counted,
+    finite, never crashing; surviving voxels keep valid values."""
+    import jax
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu import fusion, table_dense as tbd
+    from bnv_fusion_tpu.checkpoint import load_pretrained
+
+    params = load_pretrained(pretrained_tcnn_path)
+    rng = np.random.RandomState(3)
+    k, n = 3, 512
+    pts = (rng.rand(k, n, 3).astype(np.float32) * 1.2 - 0.6)
+    normals = rng.randn(k, n, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    bound_min = np.array([-1.0, -1.0, -1.0], np.float32)
+    args = (params, jnp.asarray(pts), jnp.asarray(normals),
+            jnp.ones((k, n), bool), jnp.asarray(bound_min),
+            jnp.asarray(-bound_min), 0.05, 1)
+
+    # capacity overflow: far fewer slots than touched voxels
+    t_small = tbd.create_dense_table([42, 42, 42], 256, 8)
+    t_small, stats = fusion.fuse_frames_merged(t_small, *args,
+                                               max_unique=8192)
+    assert int(np.asarray(t_small.n_alloc)) <= 256
+    assert int(np.asarray(t_small.overflow)) > 0
+    assert np.isfinite(np.asarray(t_small.features)).all()
+    assert np.isfinite(np.asarray(t_small.weights)).all()
+    w = np.asarray(t_small.weights)
+    assert (w >= 0).all() and w.max() > 0
+
+    # merge-width overflow: tiny max_unique_batch truncates the merge
+    t_nar = tbd.create_dense_table([42, 42, 42], 1 << 15, 8)
+    t_nar, _ = fusion.fuse_frames_merged(t_nar, *args, max_unique=8192,
+                                         max_unique_batch=512)
+    assert int(np.asarray(t_nar.overflow)) > 0
+    assert np.isfinite(np.asarray(t_nar.features)).all()
+
+    # roomy widths: zero overflow and parity with the sequential path
+    t_ok = tbd.create_dense_table([42, 42, 42], 1 << 15, 8)
+    t_ok, _ = fusion.fuse_frames_merged(t_ok, *args, max_unique=8192)
+    assert int(np.asarray(t_ok.overflow)) == 0
+    t_seq = tbd.create_dense_table([42, 42, 42], 1 << 15, 8)
+    for i in range(k):
+        t_seq, _ = fusion.fuse_frame(
+            t_seq, params, jnp.asarray(pts[i]), jnp.asarray(normals[i]),
+            jnp.ones((n,), bool), jnp.asarray(bound_min),
+            jnp.asarray(-bound_min), 0.05, 1, max_unique=8192)
+    ka, fa, wa, _, _ = tbd.active_entries(t_seq)
+    kb, fb, wb, _, _ = tbd.active_entries(t_ok)
+    oa, ob = np.lexsort(ka.T), np.lexsort(kb.T)
+    np.testing.assert_array_equal(ka[oa], kb[ob])
+    np.testing.assert_allclose(wa[oa], wb[ob], atol=1e-5)
+    np.testing.assert_allclose(fa[oa], fb[ob], atol=1e-4, rtol=1e-4)
