@@ -622,7 +622,8 @@ def decode_points(features: jnp.ndarray, table: tbl.AnyTable,
                   is_coords: bool = False,
                   compute_dtype=jnp.float32,
                   use_fused_kernel: bool = False,
-                  masked_fill: float | None = None) -> jnp.ndarray:
+                  masked_fill: float | None = None,
+                  layout: str = "rows") -> jnp.ndarray:
     """SDF at world points (or voxel coords) via 8-corner decode + blend.
 
     Rebuilds SparseVolume.decode_pts (reference
@@ -636,6 +637,18 @@ def decode_points(features: jnp.ndarray, table: tbl.AnyTable,
     optimization can differentiate w.r.t. it while the table supplies
     key/weight structure.  Returns [M] SDF values.
     """
+    from bnv_fusion_tpu import table_blocks as _blocks
+    from bnv_fusion_tpu import table_dense as _dense
+
+    if layout == "fm" and isinstance(
+            table, (_dense.DenseIndexedTable, _blocks.BlockIndexedTable)) \
+            and not use_fused_kernel:
+        return decode_points_fm(features, table, params, pts, bound_min,
+                                voxel_size, min_pts_in_grid,
+                                sdf_delta=sdf_delta, n_xyz=n_xyz,
+                                is_coords=is_coords,
+                                compute_dtype=compute_dtype,
+                                masked_fill=masked_fill)
     if not is_coords:
         coords = voxel.position_to_coords(pts, bound_min, voxel_size)
     else:
@@ -674,6 +687,108 @@ def decode_points(features: jnp.ndarray, table: tbl.AnyTable,
     if sdf_delta is not None:
         delta = _sample_delta_nearest(sdf_delta, corners, n_xyz)   # [M,8]
         sdf = sdf + jnp.sum(delta * tw, axis=-1)
+    return sdf
+
+
+def decode_points_fm(features: jnp.ndarray, table: tbl.AnyTable,
+                     params: Dict[str, Any], pts: jnp.ndarray,
+                     bound_min: jnp.ndarray, voxel_size: float,
+                     min_pts_in_grid: int,
+                     sdf_delta: jnp.ndarray | None = None,
+                     n_xyz: jnp.ndarray | None = None,
+                     is_coords: bool = False,
+                     compute_dtype=jnp.float32,
+                     masked_fill: float | None = None) -> jnp.ndarray:
+    """decode_points with FEATURE-MAJOR internals (slot-map tables only).
+
+    Numerically the same contract as decode_points, laid out so every
+    intermediate keeps the POINT dimension on the 128-lane axis: the
+    row-major form materializes [M, 8]/[M, 8, 3] arrays whose minor dims
+    pad to 128 lanes, and that padding tax — not gather latency — was
+    measured to dominate the optimization forward (RESULTS.md, round-2
+    render profile).  One padded materialization remains (the [8M, F]
+    feature row gather, transposed once); everything else is dense.
+
+    Differentiable w.r.t. ``features`` (the gather/transpose backward is
+    the same scatter-add as the row-major form).
+    """
+    from bnv_fusion_tpu import table_blocks as _blocks
+    from bnv_fusion_tpu import table_dense as _dense
+
+    m = pts.shape[0]
+    ptsT = pts.T                                        # [3, M]
+    if not is_coords:
+        coordsT = (ptsT - bound_min[:, None]) / voxel_size
+    else:
+        coordsT = ptsT
+    fl = jnp.floor(coordsT)
+    ce = jnp.ceil(coordsT)
+    pat = jnp.asarray(voxel._CORNER_PATTERN)            # [8, 3]
+    patb = pat.astype(bool)[:, :, None]                 # [8, 3, 1]
+    corT = jnp.where(patb, ce[None], fl[None])          # [8, 3, M] float
+    localT = coordsT[None] - corT                       # [8, 3, M]
+    w8 = jnp.prod(1.0 - jnp.abs(localT), axis=1)        # [8, M]
+    tw = w8 / jnp.maximum(jnp.sum(w8, axis=0, keepdims=True), 1e-12)
+
+    cor_i = corT.astype(jnp.int32)
+    nx = table.n_xyz
+    inside = ((cor_i[:, 0] >= 0) & (cor_i[:, 0] < nx[0]) &
+              (cor_i[:, 1] >= 0) & (cor_i[:, 1] < nx[1]) &
+              (cor_i[:, 2] >= 0) & (cor_i[:, 2] < nx[2]))  # [8, M]
+    mod = (_dense if isinstance(table, _dense.DenseIndexedTable)
+           else _blocks)
+    slots, found = mod.lookup_coords3(
+        table, cor_i[:, 0], cor_i[:, 1], cor_i[:, 2], inside)  # [8, M]
+
+    flat_slots = slots.reshape(8 * m)                   # k-major
+    foundf = found.reshape(8 * m)
+    w = jnp.where(foundf, table.weights[flat_slots], 0.0).reshape(8, m)
+    # the one padded intermediate: row gather [8M, F], transposed once
+    featsT = jnp.where(foundf[None, :],
+                       features[flat_slots].T, 0.0)     # [F, 8M]
+
+    # PE(local) feature-major: channel order [xyz, sin(xyz), cos(xyz)];
+    # transpose(1,0,2) -> [3, 8, M], reshaped [3, 8M] matches the k-major
+    # order of flat_slots
+    local_c = localT.transpose(1, 0, 2).reshape(3, 8 * m)
+    pe = jnp.concatenate([local_c, jnp.sin(local_c), jnp.cos(local_c)],
+                         axis=0)                        # [9, 8M]
+    x = jnp.concatenate([pe, featsT.astype(pe.dtype)], axis=0)  # [9+F, 8M]
+
+    dec = params["decoder"]
+    n_hidden = sum(1 for k in dec if k.startswith("w") and k != "w_out")
+    h = x.astype(compute_dtype)
+    for i in range(n_hidden):
+        wgt = dec[f"w{i}"].astype(compute_dtype)
+        h = jnp.dot(wgt.T, h, preferred_element_type=jnp.float32)
+        h = h + dec[f"b{i}"][:, None]
+        h = jnp.maximum(h, 0.0).astype(compute_dtype)
+    alpha = jnp.dot(dec["w_out"].astype(compute_dtype).T, h,
+                    preferred_element_type=jnp.float32) + \
+        dec["b_out"][:, None]                           # [1, 8M]
+    alpha = alpha.reshape(8, m) * voxel_size
+    sdf = jnp.sum(alpha * tw, axis=0)                   # [M]
+
+    mask = jnp.min(w, axis=0) >= min_pts_in_grid
+    fill = voxel_size if masked_fill is None else masked_fill
+    sdf = jnp.where(mask, sdf, fill)
+
+    if sdf_delta is not None:
+        dx, dy, dz = sdf_delta.shape
+        dims = jnp.asarray([dx, dy, dz], jnp.float32)
+        nxf = n_xyz.astype(jnp.float32)
+        u = corT / (nxf[None, :, None] - 1.0)           # [8, 3, M]
+        idx = jnp.round(u * (dims[None, :, None] - 1.0)).astype(jnp.int32)
+        din = ((idx[:, 0] >= 0) & (idx[:, 0] < dx) &
+               (idx[:, 1] >= 0) & (idx[:, 1] < dy) &
+               (idx[:, 2] >= 0) & (idx[:, 2] < dz))
+        ix = jnp.clip(idx[:, 0], 0, dx - 1)
+        iy = jnp.clip(idx[:, 1], 0, dy - 1)
+        iz = jnp.clip(idx[:, 2], 0, dz - 1)
+        dflat = (ix * dy + iy) * dz + iz                # [8, M]
+        vals = sdf_delta.reshape(-1)[dflat.reshape(-1)].reshape(8, m)
+        delta = jnp.where(din, vals, 0.0)
+        sdf = sdf + jnp.sum(delta * tw, axis=0)
     return sdf
 
 

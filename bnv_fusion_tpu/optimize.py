@@ -78,7 +78,8 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
                        n_rays: int, train_ray_splits: int,
                        lr: float = 1e-3, compute_dtype=jnp.float32,
                        neighbor_kernel: int = 3,
-                       error_guided: bool = False):
+                       error_guided: bool = False,
+                       decode_layout: str = "rows"):
     """Build (optimizer, jitted step).
 
     step(state, table, frame depth/T_wc/intr, bound_min, n_xyz, sdf_delta,
@@ -104,7 +105,8 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
         loss, aux = render.calculate_loss(
             features, t, params, chunk, key, bound_min, voxel_size,
             min_pts_in_grid, truncated_units, truncated_dist, ray_max_dist,
-            sdf_delta, n_xyz, compute_dtype, per_ray=error_guided)
+            sdf_delta, n_xyz, compute_dtype, per_ray=error_guided,
+            decode_layout=decode_layout)
         return loss, aux
 
     grad_fn = jax.value_and_grad(chunk_loss, argnums=0, has_aux=True)

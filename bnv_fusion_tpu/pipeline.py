@@ -436,7 +436,9 @@ class NeuralMap:
                     train_ray_splits=self.train_ray_splits, lr=lr,
                     neighbor_kernel=int(getattr(self.config.model,
                                                 "neighbor_kernel", 3)),
-                    error_guided=error_guided)
+                    error_guided=error_guided,
+                    decode_layout=str(getattr(self.config.model,
+                                              "decode_layout", "rows")))
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
@@ -516,6 +518,8 @@ class NeuralMap:
                      bool(getattr(self.config.model,
                                   "use_fused_decode_kernel", False)))
 
+        layout = str(getattr(self.config.model, "decode_layout", "rows"))
+
         @jax.jit
         def decode(features, table, sdf_delta, coords):
             return fusion.decode_points(
@@ -524,7 +528,7 @@ class NeuralMap:
                 sdf_delta=sdf_delta if use_delta else None,
                 n_xyz=self.n_xyz, is_coords=True,
                 use_fused_kernel=use_fused,
-                masked_fill=float("nan"))
+                masked_fill=float("nan"), layout=layout)
 
         return decode
 

@@ -130,7 +130,7 @@ def render_rays_sdf(features: jnp.ndarray, table: tbl.AnyTable,
                     min_pts_in_grid: int, truncated_units: int,
                     truncated_dist: float, ray_max_dist: float,
                     sdf_delta: jnp.ndarray | None, n_xyz: jnp.ndarray,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, decode_layout: str = "rows"):
     """Sample rays and decode SDF through the sparse volume.
 
     Reference render_with_rays (render_utils.py:461-505).  Returns
@@ -150,7 +150,7 @@ def render_rays_sdf(features: jnp.ndarray, table: tbl.AnyTable,
     pred = fusion.decode_points(
         features, table, params, flat_pts, bound_min, voxel_size,
         min_pts_in_grid, sdf_delta=sdf_delta, n_xyz=n_xyz,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, layout=decode_layout)
     return pred.reshape(n, s), pts, cam_loc, corners
 
 
@@ -193,14 +193,15 @@ def calculate_loss(features: jnp.ndarray, table: tbl.AnyTable,
                    min_pts_in_grid: int, truncated_units: int,
                    truncated_dist: float, ray_max_dist: float,
                    sdf_delta: jnp.ndarray | None, n_xyz: jnp.ndarray,
-                   compute_dtype=jnp.float32, per_ray: bool = False):
+                   compute_dtype=jnp.float32, per_ray: bool = False,
+                   decode_layout: str = "rows"):
     """Loss for one ray chunk + the corner coords to weight-bump
     (reference render_utils.calculate_loss:551-594).  With ``per_ray`` the
     aux is (corners, per-ray errors)."""
     pred_sdf, pts, cam_loc, corners = render_rays_sdf(
         features, table, params, rays, key, bound_min, voxel_size,
         min_pts_in_grid, truncated_units, truncated_dist, ray_max_dist,
-        sdf_delta, n_xyz, compute_dtype)
+        sdf_delta, n_xyz, compute_dtype, decode_layout=decode_layout)
     if per_ray:
         loss, ray_err = compute_sdf_loss(rays, pred_sdf, pts, cam_loc,
                                          truncated_dist, per_ray=True)

@@ -247,3 +247,19 @@ def load_entries(n_xyz, capacity: int, coords, features, weights, num_hits
         num_hits=table.num_hits.at[slots].set(
             jnp.asarray(num_hits).reshape(-1)),
     )
+
+
+def lookup_coords3(table: BlockIndexedTable, cx, cy, cz, inside):
+    """lookup on per-axis coordinate arrays of ANY shape (see
+    table_dense.lookup_coords3)."""
+    nbx, nby, nbz = table.block_grid
+    cx = jnp.where(inside, cx, 0)
+    cy = jnp.where(inside, cy, 0)
+    cz = jnp.where(inside, cz, 0)
+    bcx, bcy, bcz = cx // B, cy // B, cz // B
+    lx, ly, lz = cx - bcx * B, cy - bcy * B, cz - bcz * B
+    bflat = (bcx * nby + bcy) * nbz + bcz
+    bslot = table.block_map[bflat]
+    found = inside & (bslot >= 0)
+    slots = jnp.where(found, bslot * BLOCK_SLOTS + (lx * B + ly) * B + lz, 0)
+    return slots, found

@@ -229,3 +229,15 @@ def load_entries(n_xyz, capacity: int, coords, features, weights, num_hits
         num_hits=table.num_hits.at[slots].set(
             jnp.asarray(num_hits).reshape(-1)),
     )
+
+
+def lookup_coords3(table: DenseIndexedTable, cx, cy, cz, inside):
+    """lookup on per-axis coordinate arrays of ANY shape (feature-major
+    decode path: keeps every intermediate lane-dense instead of padding
+    [M, 3] key rows to the 128-lane tile)."""
+    n = table.n_xyz
+    flat = cx * (n[1] * n[2]) + cy * n[2] + cz
+    flat = jnp.where(inside, flat, 0)
+    slots = jnp.where(inside, table.slot_map[flat], -1)
+    found = slots >= 0
+    return jnp.maximum(slots, 0), found
