@@ -690,6 +690,72 @@ def decode_points(features: jnp.ndarray, table: tbl.AnyTable,
     return sdf
 
 
+class DecodePrep(NamedTuple):
+    """Feature-independent precomputation of a decode batch (see
+    decode_prepare/decode_eval)."""
+
+    slots: jnp.ndarray      # [8M] gather rows into features/weights
+    found: jnp.ndarray      # [8M]
+    tw: jnp.ndarray         # [M, 8] trilinear blend weights
+    local: jnp.ndarray      # [M, 8, 3] corner-local offsets
+    w: jnp.ndarray          # [M, 8] decode-mask weights
+    delta: jnp.ndarray | None   # [M, 8] prior samples (already weighted)
+    corners: jnp.ndarray    # [M, 8, 3] int corner coords (for count_optim)
+
+
+def decode_prepare(table: tbl.AnyTable, pts: jnp.ndarray,
+                   bound_min: jnp.ndarray, voxel_size: float,
+                   sdf_delta: jnp.ndarray | None = None,
+                   n_xyz: jnp.ndarray | None = None,
+                   is_coords: bool = False) -> DecodePrep:
+    """Everything decode_points computes EXCEPT the feature-dependent part.
+
+    Splitting lets the optimization differentiate w.r.t. the GATHERED
+    feature rows instead of the full [capacity, F] array: the backward then
+    yields sparse cotangent rows, and the caller applies ONE scatter-add
+    per iteration instead of a dense [capacity, F] accumulation per chunk
+    (profiled at 12 ms/chunk on v5e — the optimize loop's largest cost).
+    """
+    if not is_coords:
+        coords = voxel.position_to_coords(pts, bound_min, voxel_size)
+    else:
+        coords = pts
+    corners = voxel.corner_neighbors(coords)
+    tw = voxel.trilinear_weights(coords, corners)
+    local = voxel.local_offsets(coords, corners)
+    m = coords.shape[0]
+    slots, found = tbl.lookup(table, corners.reshape(m * 8, 3))
+    w = jnp.where(found, table.weights[slots], 0.0).reshape(m, 8)
+    delta = (None if sdf_delta is None
+             else _sample_delta_nearest(sdf_delta, corners, n_xyz))
+    return DecodePrep(slots=slots, found=found, tw=tw, local=local, w=w,
+                      delta=delta, corners=corners)
+
+
+def decode_eval(gathered_feats: jnp.ndarray, prep: DecodePrep,
+                params: Dict[str, Any], voxel_size: float,
+                min_pts_in_grid: int, compute_dtype=jnp.float32,
+                masked_fill: float | None = None) -> jnp.ndarray:
+    """Feature-dependent tail of decode_points.
+
+    ``decode_eval(features[prep.slots], prep, ...)`` equals
+    ``decode_points(features, ...)`` exactly; differentiating w.r.t.
+    ``gathered_feats`` yields per-row cotangents.
+    """
+    m = prep.tw.shape[0]
+    feats = jnp.where(prep.found[:, None], gathered_feats,
+                      0.0).reshape(m, 8, -1)
+    alpha = bnn.decoder_apply(params, prep.local, feats,
+                              compute_dtype=compute_dtype)[..., 0]
+    sdf = jnp.sum(alpha * voxel_size * prep.tw, axis=-1)
+    mask = jnp.min(prep.w, axis=-1) >= min_pts_in_grid
+    fill = voxel_size if masked_fill is None else masked_fill
+    sdf = jnp.where(mask, sdf, fill)
+    if prep.delta is not None:
+        sdf = sdf + jnp.sum(prep.delta * prep.tw, axis=-1)
+    return sdf
+
+
 def decode_points_fm(features: jnp.ndarray, table: tbl.AnyTable,
                      params: Dict[str, Any], pts: jnp.ndarray,
                      bound_min: jnp.ndarray, voxel_size: float,

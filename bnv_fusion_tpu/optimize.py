@@ -79,7 +79,8 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
                        lr: float = 1e-3, compute_dtype=jnp.float32,
                        neighbor_kernel: int = 3,
                        error_guided: bool = False,
-                       decode_layout: str = "rows"):
+                       decode_layout: str = "rows",
+                       parallel_chunks: bool = False):
     """Build (optimizer, jitted step).
 
     step(state, table, frame depth/T_wc/intr, bound_min, n_xyz, sdf_delta,
@@ -98,18 +99,6 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
         raise ValueError("n_rays must be a multiple of train_ray_splits")
     n_chunks = n_rays // train_ray_splits
     opt = optax.adam(lr)
-
-    def chunk_loss(features, weights, table, chunk: render.Rays, key,
-                   bound_min, n_xyz, sdf_delta):
-        t = table.replace(weights=weights)
-        loss, aux = render.calculate_loss(
-            features, t, params, chunk, key, bound_min, voxel_size,
-            min_pts_in_grid, truncated_units, truncated_dist, ray_max_dist,
-            sdf_delta, n_xyz, compute_dtype, per_ray=error_guided,
-            decode_layout=decode_layout)
-        return loss, aux
-
-    grad_fn = jax.value_and_grad(chunk_loss, argnums=0, has_aux=True)
 
     def step(state: OptimState, table: tbl.AnyTable,
              depth: jnp.ndarray, T_wc: jnp.ndarray, intr: jnp.ndarray,
@@ -136,30 +125,70 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
             neighbor_masks=reshape(rays.neighbor_masks),
             T_wc=rays.T_wc, intr=rays.intr)
         keys = jax.random.split(k_chunks, n_chunks)
+        cap = state.features.shape[0]
 
-        def scan_body(carry, inp):
-            grad_acc, weights = carry
+        def scan_body(weights, inp):
             chunk_data, k = inp
             chunk = render.Rays(
                 uv=chunk_data[0], gt_pts=chunk_data[1], mask=chunk_data[2],
                 neighbor_pts=chunk_data[3], neighbor_masks=chunk_data[4],
                 T_wc=rays.T_wc, intr=rays.intr)
-            (loss, aux), g = grad_fn(
-                state.features, weights, table, chunk, k, bound_min, n_xyz,
-                sdf_delta)
-            corners = aux[0] if error_guided else aux
-            # count_optim: +1 on voxels touched by this chunk's samples
             t = table.replace(weights=weights)
-            weights = fusion.bump_optim_weights(t, corners).weights
-            ys = (loss, aux[1]) if error_guided else loss
-            return (grad_acc + g, weights), ys
+            # feature-INDEPENDENT prep, then differentiate only w.r.t. the
+            # gathered rows: the backward yields sparse cotangents instead
+            # of a dense [capacity, F] gradient per chunk (12 ms/chunk of
+            # dense accumulation on v5e — the loop's largest cost; one
+            # scatter-add applies all chunks' cotangents after the scan)
+            prep, pts, cam_loc = render.prepare_render(
+                t, chunk, k, bound_min, voxel_size, truncated_units,
+                truncated_dist, ray_max_dist, sdf_delta, n_xyz)
+            gfeats = state.features[prep.slots]
 
-        init = (jnp.zeros_like(state.features), state.weights)
-        (grads, weights), ys = jax.lax.scan(
-            scan_body,
-            init,
-            ((chunked.uv, chunked.gt_pts, chunked.mask,
-              chunked.neighbor_pts, chunked.neighbor_masks), keys))
+            def tail(gf):
+                return render.eval_render_loss(
+                    gf, prep, params, chunk, pts, cam_loc, voxel_size,
+                    min_pts_in_grid, truncated_dist, compute_dtype,
+                    per_ray=error_guided)
+
+            if error_guided:
+                (loss, ray_err), g_rows = jax.value_and_grad(
+                    tail, has_aux=True)(gfeats)
+            else:
+                loss, g_rows = jax.value_and_grad(tail)(gfeats)
+                ray_err = None
+            # count_optim: +1 on voxels touched by this chunk's samples
+            weights = fusion.bump_optim_weights(t, prep.corners).weights
+            gidx = jnp.where(prep.found, prep.slots, cap)
+            ys = ((loss, ray_err, gidx, g_rows) if error_guided
+                  else (loss, gidx, g_rows))
+            return weights, ys
+
+        xs = ((chunked.uv, chunked.gt_pts, chunked.mask,
+               chunked.neighbor_pts, chunked.neighbor_masks), keys)
+        if parallel_chunks:
+            # all chunks run against the ITERATION-START weights.  The only
+            # deviation from the reference's sequential schedule: a bump can
+            # no longer unmask a voxel for a LATER chunk of the SAME
+            # iteration (it still lands before the next iteration); the
+            # accumulated weights themselves are exactly sequential.
+            # model.parallel_ray_chunks opts in for chunk-level parallelism.
+            def one(inp):
+                return scan_body(state.weights, inp)
+            w_all, ys = jax.vmap(one)(xs)
+            # per-chunk bumps are independent of the weight values (lookup
+            # only reads keys), so summing the per-chunk deltas reproduces
+            # the sequential accumulation exactly
+            weights = state.weights + jnp.sum(w_all - state.weights[None],
+                                              axis=0)
+        else:
+            weights, ys = jax.lax.scan(scan_body, state.weights, xs)
+        if error_guided:
+            losses, ray_errs, gidx, g_rows = ys
+        else:
+            losses, gidx, g_rows = ys
+        fdim = state.features.shape[1]
+        grads = jnp.zeros((cap, fdim), jnp.float32).at[
+            gidx.reshape(-1)].add(g_rows.reshape(-1, fdim), mode="drop")
 
         updates, opt_state = opt.update(grads, state.opt_state, state.features)
         features = optax.apply_updates(state.features, updates)
@@ -167,11 +196,10 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
                                opt_state=opt_state)
         if error_guided:
             from bnv_fusion_tpu import sampler
-            losses, ray_errs = ys
             new_map = sampler.update_error_map(
                 error_map, depth.shape, pixel_ids, ray_errs.reshape(-1))
             return new_state, jnp.mean(losses), new_map
-        return new_state, jnp.mean(ys)
+        return new_state, jnp.mean(losses)
 
     def multi_step(state: OptimState, table: tbl.AnyTable,
                    depths: jnp.ndarray, T_wcs: jnp.ndarray,

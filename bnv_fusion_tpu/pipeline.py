@@ -438,7 +438,9 @@ class NeuralMap:
                                                 "neighbor_kernel", 3)),
                     error_guided=error_guided,
                     decode_layout=str(getattr(self.config.model,
-                                              "decode_layout", "rows")))
+                                              "decode_layout", "rows")),
+                    parallel_chunks=bool(getattr(
+                        self.config.model, "parallel_ray_chunks", False)))
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)

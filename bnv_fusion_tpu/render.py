@@ -154,6 +154,44 @@ def render_rays_sdf(features: jnp.ndarray, table: tbl.AnyTable,
     return pred.reshape(n, s), pts, cam_loc, corners
 
 
+def prepare_render(table, rays: Rays, key, bound_min: jnp.ndarray,
+                    voxel_size: float, truncated_units: int,
+                    truncated_dist: float, ray_max_dist: float,
+                    sdf_delta: jnp.ndarray | None, n_xyz: jnp.ndarray):
+    """Feature-independent half of render_rays_sdf: sampling + gather prep.
+
+    Pairs with eval_render_loss: differentiating only the feature-dependent
+    tail yields SPARSE cotangent rows (see fusion.decode_prepare)."""
+    ray_dirs, cam_loc = geometry.get_camera_rays(rays.uv, rays.T_wc,
+                                                 rays.intr)
+    gt_depths = jnp.linalg.norm(rays.gt_pts - cam_loc[None, :], axis=-1)
+    pts, _ = hierarchical_sampling(
+        key, truncated_units * 2, int(ray_max_dist * 5), gt_depths,
+        rays.gt_pts, ray_dirs, cam_loc, offset_distance=truncated_dist)
+    n, s = pts.shape[:2]
+    prep = fusion.decode_prepare(table, pts.reshape(n * s, 3), bound_min,
+                                 voxel_size, sdf_delta=sdf_delta,
+                                 n_xyz=n_xyz)
+    return prep, pts, cam_loc
+
+
+def eval_render_loss(gathered_feats: jnp.ndarray, prep, params,
+                     rays: Rays, pts: jnp.ndarray, cam_loc: jnp.ndarray,
+                     voxel_size: float, min_pts_in_grid: int,
+                     truncated_dist: float, compute_dtype=jnp.float32,
+                     per_ray: bool = False):
+    """Differentiable tail: gathered feature rows -> chunk loss.
+
+    eval_render_loss(features[prep.slots], ...) equals calculate_loss's
+    loss output exactly."""
+    n, s = pts.shape[:2]
+    pred = fusion.decode_eval(gathered_feats, prep, params, voxel_size,
+                              min_pts_in_grid,
+                              compute_dtype=compute_dtype).reshape(n, s)
+    return compute_sdf_loss(rays, pred, pts, cam_loc, truncated_dist,
+                            per_ray=per_ray)
+
+
 def compute_sdf_loss(rays: Rays, pred_sdf: jnp.ndarray, pred_pts: jnp.ndarray,
                      cam_loc: jnp.ndarray, truncated_dist: float,
                      per_ray: bool = False):
