@@ -16,8 +16,7 @@ bnv_fusion_tpu.nn.mlp_apply numerics (f32 accumulation).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict
+
 
 import jax
 import jax.numpy as jnp

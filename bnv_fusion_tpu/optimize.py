@@ -19,7 +19,6 @@ TPU-first restructuring:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

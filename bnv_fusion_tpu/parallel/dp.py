@@ -30,7 +30,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from bnv_fusion_tpu import fusion, render
-from bnv_fusion_tpu import nn as bnn
 from bnv_fusion_tpu import tables as tbl
 
 
