@@ -469,6 +469,151 @@ def _cellsort_reduce(params, pts_w, normals, valid, bound_min, bound_max,
             jnp.sum(inside.astype(jnp.float32)))
 
 
+def _cellsort_sort1(pts_w, normals, valid, bound_min, bound_max, voxel_size,
+                    n_xyz, n_vox):
+    """Stage-1 front: bound mask + cell keys + the point sort.
+
+    Returns (cell_s, mcode_s, coords_s, normals_s, n_valid) — one frame."""
+    inside = jnp.all((pts_w > bound_min + voxel_size) &
+                     (pts_w < bound_max - voxel_size), axis=-1) & valid
+    coords = voxel.position_to_coords(pts_w, bound_min, voxel_size)
+    fl = jnp.floor(coords)
+    mi = (jnp.ceil(coords) > fl).astype(jnp.int32)
+    fi = fl.astype(jnp.int32)
+    inside = inside & jnp.all(fi >= 0, axis=-1) & \
+        jnp.all(fi + mi < n_xyz, axis=-1)
+    s0 = n_xyz[1] * n_xyz[2]
+    s1 = n_xyz[2]
+    cell = fi[:, 0] * s0 + fi[:, 1] * s1 + fi[:, 2]
+    mcode = mi[:, 0] * 4 + mi[:, 1] * 2 + mi[:, 2]
+    cell = jnp.where(inside, cell, n_vox)
+    mcode = jnp.where(inside, mcode, 8)
+    coords_z = jnp.where(inside[:, None], coords, 0.0)
+    normals_z = jnp.where(inside[:, None], normals, 0.0)
+    ops = jax.lax.sort(
+        (cell, mcode, coords_z[:, 0], coords_z[:, 1], coords_z[:, 2],
+         normals_z[:, 0], normals_z[:, 1], normals_z[:, 2]), num_keys=2)
+    return (ops[0], ops[1], jnp.stack(ops[2:5], axis=-1),
+            jnp.stack(ops[5:8], axis=-1),
+            jnp.sum(inside.astype(jnp.float32)))
+
+
+def _encode_sorted_fm(params, coords_s, normals_s, entry_valid,
+                      compute_dtype):
+    """Encoder over the sorted points, FEATURE-MAJOR output [F*8, N] with
+    channel order (feature-major, corner-minor: channel = f*8 + p).
+
+    That order makes the [F, 8, N] -> [F*8, N] step a plain reshape — no
+    78 MB relayout between the encoder and the segmented-reduce kernel
+    (bnv_fusion_tpu.kernels.seg_reduce wants rows on the lane axis).  The
+    encoder input is likewise BUILT feature-major (pattern select over
+    transposed [3, N] coords), so the only relayouts are two [N, 3]
+    transposes (~4 MB)."""
+    n = coords_s.shape[0]
+    coordsT = coords_s.T                                # [3, N]
+    normalsT = normals_s.T                              # [3, N]
+    fl = jnp.floor(coordsT)
+    ce = jnp.ceil(coordsT)
+    patb = jnp.asarray(voxel._CORNER_PATTERN).T.astype(bool)[:, :, None]
+    corT = jnp.where(patb, ce[:, None, :], fl[:, None, :])   # [3, 8, N]
+    relT = coordsT[:, None, :] - corT                   # == local_offsets
+    nrmT = jnp.broadcast_to(normalsT[:, None, :], relT.shape)
+    xT = jnp.concatenate([relT, nrmT], axis=0).reshape(6, 8 * n)  # p-major
+    enc = params["encoder"]
+    n_hidden = sum(1 for k in enc if k.startswith("w") and k != "w_out")
+    h = xT.astype(compute_dtype)
+    for i in range(n_hidden):
+        w = enc[f"w{i}"].astype(compute_dtype)
+        h = jnp.dot(w.T, h, preferred_element_type=jnp.float32)
+        h = h + enc[f"b{i}"][:, None]
+        h = jnp.maximum(h, 0.0).astype(compute_dtype)
+    out = jnp.dot(enc["w_out"].astype(compute_dtype).T, h,
+                  preferred_element_type=jnp.float32) + \
+        enc["b_out"][:, None]                           # [F, 8N]
+    fdim = out.shape[0]
+    out = jnp.where(entry_valid[None, None, :], out.reshape(fdim, 8, n), 0.0)
+    return out.reshape(fdim * 8, n)                     # channel = f*8 + p
+
+
+def _cellsort_reduce_batched(params, pts_w, normals, valid, bound_min,
+                             bound_max, voxel_size, compute_dtype,
+                             max_unique, max_unique_cells, n_xyz, n_vox,
+                             fdim, interpret: bool = False,
+                             seg_tile: int = 2048):
+    """K-frame batched _cellsort_reduce with the Pallas segmented-reduce
+    kernel replacing both cumsum+compaction-sort reductions.
+
+    Motivation (v5e, round 3): a pallas_call costs ~4 ms FIXED on the
+    tunneled runtime regardless of size, so per-frame kernels lose — but
+    the kernel's actual reduction work is 3-4x cheaper than the XLA
+    cumsum/sort path.  Batching the K frames of one launch into a single
+    kernel call amortizes the fixed cost to ~0.5 ms/frame.
+
+    Inputs are [K, N, ...]; returns the same tuple as
+    jax.vmap(_cellsort_reduce) — semantics identical up to f32 summation
+    order (the kernel sums segments directly instead of the mean-centered
+    cumsum trick, which is strictly more accurate).
+    """
+    from bnv_fusion_tpu.kernels.seg_reduce import seg_reduce_sorted
+
+    kf, n = pts_w.shape[:2]
+    u_cell = min(max_unique_cells if max_unique_cells else max_unique, n)
+    sent = int(n_vox)
+
+    cell_s, mcode_s, coords_s, normals_s, n_valid = jax.vmap(
+        _cellsort_sort1, in_axes=(0, 0, 0, None, None, None, None, None))(
+            pts_w, normals, valid, bound_min, bound_max, voxel_size,
+            n_xyz, n_vox)
+    entry_valid = cell_s < n_vox                        # [K, N]
+    f8fm = jax.vmap(_encode_sorted_fm, in_axes=(None, 0, 0, 0, None))(
+        params, coords_s, normals_s, entry_valid, compute_dtype)  # [K,8F,N]
+
+    cnts1 = entry_valid.astype(jnp.int32)[:, None, :]   # [K, 1, N]
+    cell_u, mcode_u, gcnt_i, gsum, n_groups = seg_reduce_sorted(
+        cell_s, cnts1, f8fm, u=u_cell, sent=sent, keys2=mcode_s,
+        two_keys=True, tile=seg_tile, interpret=interpret)
+    gmask = jnp.arange(u_cell)[None, :] < \
+        jnp.minimum(n_groups, u_cell)[:, None]          # [K, u_cell]
+    gcnt = gcnt_i[..., 0]                               # [K, u_cell] int32
+    cells_dropped = jnp.maximum(n_groups - u_cell, 0)
+
+    # ---- stage 2: scatter per-cell partials to the 8 corner voxel ids ----
+    s0 = n_xyz[1] * n_xyz[2]
+    s1 = n_xyz[2]
+    pattern = jnp.asarray(voxel._CORNER_PATTERN)        # [8, 3]
+    moff = jnp.stack([(mcode_u >> 2) & 1, (mcode_u >> 1) & 1, mcode_u & 1],
+                     axis=-1)                           # [K, u_cell, 3]
+    offs = pattern[None, None, :, :] * moff[:, :, None, :]
+    ckey = cell_u[:, :, None] + offs[..., 0] * s0 + offs[..., 1] * s1 + \
+        offs[..., 2]                                    # [K, u_cell, 8]
+    ckey = jnp.where(gmask[:, :, None], ckey, n_vox)
+    m2 = u_cell * 8
+    ck = ckey.reshape(kf, m2)
+    # gsum channels are (f*8 + p); slice per-feature [K, u_cell, 8] planes
+    g3 = jnp.where(gmask[:, :, None, None],
+                   gsum.reshape(kf, u_cell, fdim, 8), 0.0)
+    fch = [g3[:, :, j, :].reshape(kf, m2) for j in range(fdim)]
+    c2 = jnp.where(gmask[:, :, None],
+                   jnp.broadcast_to(gcnt[:, :, None], (kf, u_cell, 8)),
+                   0).reshape(kf, m2)
+
+    ops2 = jax.vmap(lambda k, c, *f: jax.lax.sort((k,) + f + (c,),
+                                                  num_keys=1))(
+        ck, c2, *fch)
+    ck_s = ops2[0]
+    f2_s = jnp.stack(ops2[1:1 + fdim], axis=1)          # [K, F, m2]
+    c2_s = ops2[-1][:, None, :]                         # [K, 1, m2]
+
+    u = min(max_unique, m2)
+    flat_u, _, cnt_i, sum_u, n_unique = seg_reduce_sorted(
+        ck_s, c2_s, f2_s, u=u, sent=sent, tile=seg_tile,
+        interpret=interpret)
+    umask = jnp.arange(u)[None, :] < jnp.minimum(n_unique, u)[:, None]
+    cnt_u = cnt_i[..., 0].astype(jnp.float32)
+    return (flat_u, cnt_u, sum_u, umask, n_unique, u, cells_dropped,
+            n_valid)
+
+
 def fuse_frames_merged(table, params: Dict[str, Any],
                        pts_w: jnp.ndarray, normals: jnp.ndarray,
                        valid: jnp.ndarray, bound_min: jnp.ndarray,
@@ -476,8 +621,12 @@ def fuse_frames_merged(table, params: Dict[str, Any],
                        min_pts_in_grid: int, compute_dtype=jnp.float32,
                        max_unique: int = 1 << 17,
                        max_unique_cells: int | None = None,
-                       max_unique_batch: int | None = None):
+                       max_unique_batch: int | None = None,
+                       seg_kernel: bool | str = False):
     """Fuse K frames with ONE table update (the batched-launch fast path).
+
+    ``seg_kernel`` routes the two segment reductions through the batched
+    Pallas kernel (_cellsort_reduce_batched; "interpret" for CPU tests).
 
     The per-frame running mean (reference local_point_fusion.py:647-673) is
     associative: folding frames i..j into old state equals one update with
@@ -496,13 +645,20 @@ def fuse_frames_merged(table, params: Dict[str, Any],
     n_vox = (table.n_voxels if hasattr(table, "n_voxels")
              else table.slot_map.shape[0])
 
-    def reduce_one(p, nr, v):
-        return _cellsort_reduce(params, p, nr, v, bound_min, bound_max,
-                                voxel_size, compute_dtype, max_unique,
-                                max_unique_cells, n_xyz, n_vox, fdim)
+    if seg_kernel:
+        (flat_u, cnt_u, sum_u, umask, n_unique, _, cells_dropped,
+         n_valid) = _cellsort_reduce_batched(
+            params, pts_w, normals, valid, bound_min, bound_max,
+            voxel_size, compute_dtype, max_unique, max_unique_cells,
+            n_xyz, n_vox, fdim, interpret=(seg_kernel == "interpret"))
+    else:
+        def reduce_one(p, nr, v):
+            return _cellsort_reduce(params, p, nr, v, bound_min, bound_max,
+                                    voxel_size, compute_dtype, max_unique,
+                                    max_unique_cells, n_xyz, n_vox, fdim)
 
-    (flat_u, cnt_u, sum_u, umask, n_unique, _, cells_dropped, n_valid) = \
-        jax.vmap(reduce_one)(pts_w, normals, valid)   # [K, U, ...]
+        (flat_u, cnt_u, sum_u, umask, n_unique, _, cells_dropped,
+         n_valid) = jax.vmap(reduce_one)(pts_w, normals, valid)  # [K, U, ..]
     u = flat_u.shape[1]
 
     # per-frame reference weighting + min-pts filter (pre-merge, exactly as
