@@ -135,6 +135,133 @@ def make_sharded_fuse_frame(mesh: Mesh, params: Dict[str, Any],
     return jax.jit(sharded)
 
 
+def make_sharded_optimize_iter(mesh: Mesh, params: Dict[str, Any],
+                               voxel_size: float, min_pts_in_grid: int,
+                               truncated_units: int, truncated_dist: float,
+                               ray_max_dist: float, n_rays: int,
+                               train_ray_splits: int,
+                               example_table: tbl.AnyTable,
+                               lr: float = 1e-3,
+                               neighbor_kernel: int = 3,
+                               axis: str = "dp"):
+    """Ray-DP version of optimize.make_optimize_step's per-frame iteration —
+    the drop-in sharded step NeuralMap.optimize uses when
+    ``trainer.optimize_devices`` > 1 (VERDICT round-2 item 2).
+
+    Semantics match the single-device step exactly (same ray sampling, same
+    per-chunk masked mean, same sequential count_optim bump schedule, one
+    Adam update per iteration): the chunk jitter uniforms are drawn ONCE
+    with the same key structure and row-sharded, per-shard error/mask sums
+    psum into the global masked mean, bumps combine with pmax, and the
+    sparse cotangent rows scatter locally with one gradient psum per
+    iteration.  Differences from single-device are float reduction order
+    only.
+
+    Signature: step(state, table, depth, T_wc, intr, bound_min, n_xyz,
+    sdf_delta, key) -> (state, loss) — identical to the unsharded step.
+    """
+    from bnv_fusion_tpu import optimize as optmod
+
+    if n_rays % train_ray_splits:
+        raise ValueError("n_rays must be a multiple of train_ray_splits")
+    n_chunks = n_rays // train_ray_splits
+    n_dev = int(mesh.devices.size)
+    if train_ray_splits % n_dev:
+        raise ValueError(
+            f"train_ray_splits={train_ray_splits} must divide over the "
+            f"{n_dev}-device mesh")
+    opt = optax.adam(lr)
+    n_fine = truncated_units * 2
+    n_coarse = int(ray_max_dist * 5)
+
+    def local_fn(features, weights, opt_state, table, chunk_arrays, ts_f,
+                 ts_c, T_wc, intr, bound_min, n_xyz, sdf_delta):
+        cap = features.shape[0]
+        fdim = features.shape[1]
+
+        def scan_body(w, inp):
+            (uv, gt_pts, mask, npts, nmasks), tf, tc = inp
+            chunk = render.Rays(uv=uv, gt_pts=gt_pts, mask=mask,
+                                neighbor_pts=npts, neighbor_masks=nmasks,
+                                T_wc=T_wc, intr=intr)
+            t = table.replace(weights=w)
+            prep, pts, cam_loc = render.prepare_render(
+                t, chunk, None, bound_min, voxel_size, truncated_units,
+                truncated_dist, ray_max_dist, sdf_delta, n_xyz,
+                ts=(tf, tc))
+            gfeats = features[prep.slots]
+
+            def tail(gf):
+                s, nv = render.eval_render_loss(
+                    gf, prep, params, chunk, pts, cam_loc, voxel_size,
+                    min_pts_in_grid, truncated_dist, reduce="sum")
+                return s, nv
+
+            (err_sum, n_valid), g_rows = jax.value_and_grad(
+                tail, has_aux=True)(gfeats)
+            denom = jax.lax.psum(n_valid, axis) + 1e-4
+            loss = jax.lax.psum(err_sum, axis) / denom
+            g_rows = g_rows / denom
+            # count_optim: union across devices (pmax), sequential in chunks
+            slots, found = tbl.lookup(t, prep.corners.reshape(-1, 3))
+            idx = jnp.where(found, slots, cap)
+            bump = jnp.zeros((cap,), jnp.float32).at[idx].max(
+                1.0, mode="drop")
+            w = w + jax.lax.pmax(bump, axis)
+            gidx = jnp.where(prep.found, prep.slots, cap)
+            return w, (loss, gidx, g_rows)
+
+        xs = (chunk_arrays, ts_f, ts_c)
+        weights, (losses, gidx, g_rows) = jax.lax.scan(
+            scan_body, weights, xs)
+        grads = jnp.zeros((cap, fdim), jnp.float32).at[
+            gidx.reshape(-1)].add(g_rows.reshape(-1, fdim), mode="drop")
+        grads = jax.lax.psum(grads, axis)
+        updates, opt_state = opt.update(grads, opt_state, features)
+        features = optax.apply_updates(features, updates)
+        return features, weights, opt_state, jnp.mean(losses)
+
+    table_spec = tbl.replicated_spec(example_table)
+    opt_spec = jax.tree.map(lambda _: P(), opt.init(jnp.zeros((1, 1))))
+    chunk_spec = (P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis), P(None, axis))
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), opt_spec, table_spec, chunk_spec,
+                  P(None, axis), P(None, axis), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), opt_spec, P()),
+        check_vma=False)
+
+    def step(state, table, depth, T_wc, intr, bound_min, n_xyz, sdf_delta,
+             key):
+        # identical RNG structure to the single-device step: pixel choice
+        # from k_rays, then per-chunk keys each split into (fine, coarse)
+        # jitter draws — drawn here at full chunk width and row-sharded
+        k_rays, k_chunks = jax.random.split(key)
+        rays = optmod.build_rays_from_frame(
+            k_rays, depth, T_wc, intr, ray_max_dist, n_rays,
+            neighbor_kernel=neighbor_kernel)
+        keys = jax.random.split(k_chunks, n_chunks)
+        ts_f, ts_c = jax.vmap(
+            lambda k: render.draw_sampling_uniforms(
+                k, train_ray_splits, n_fine, n_coarse))(keys)
+
+        def reshape(x):
+            return x.reshape((n_chunks, train_ray_splits) + x.shape[1:])
+
+        chunk_arrays = (reshape(rays.uv), reshape(rays.gt_pts),
+                        reshape(rays.mask), reshape(rays.neighbor_pts),
+                        reshape(rays.neighbor_masks))
+        features, weights, opt_state, loss = sharded(
+            state.features, state.weights, state.opt_state, table,
+            chunk_arrays, ts_f, ts_c, rays.T_wc, rays.intr, bound_min,
+            n_xyz, sdf_delta)
+        return optmod.OptimState(features=features, weights=weights,
+                                 opt_state=opt_state), loss
+
+    return opt, jax.jit(step, donate_argnums=(0,))
+
+
 def make_sharded_optimize_step(mesh: Mesh, params: Dict[str, Any],
                                voxel_size: float, min_pts_in_grid: int,
                                truncated_units: int, truncated_dist: float,

@@ -31,42 +31,63 @@ class Rays(NamedTuple):
     intr: jnp.ndarray            # [3, 3]
 
 
-def stratified_sampling(key, n_samples: int, distances: jnp.ndarray
-                        ) -> jnp.ndarray:
+def stratified_sampling(key, n_samples: int, distances: jnp.ndarray,
+                        t: jnp.ndarray | None = None) -> jnp.ndarray:
     """Stratified distances in [0, d] per ray: [N, 1] -> [N, S, 1].
 
     Matches reference stratified_sampling (render_utils.py:77-94): linspace
-    endpoints, jitter uniformly inside mid-point intervals.
+    endpoints, jitter uniformly inside mid-point intervals.  ``t`` supplies
+    pre-drawn jitter (the ray-sharded DP path draws the whole chunk's
+    uniforms once and shards the rows, so each chip consumes exactly the
+    rows the single-device path would).
     """
     n = distances.shape[0]
     ticks = jnp.linspace(0.0, 1.0, n_samples)[None, :] * distances  # [N, S]
     mids = 0.5 * (ticks[:, 1:] + ticks[:, :-1])
     upper = jnp.concatenate([mids, ticks[:, -1:]], axis=-1)
     lower = jnp.concatenate([ticks[:, :1], mids], axis=-1)
-    t = jax.random.uniform(key, (n, n_samples))
+    if t is None:
+        t = jax.random.uniform(key, (n, n_samples))
     return (lower + (upper - lower) * t)[..., None]
+
+
+def draw_sampling_uniforms(key, n_rays: int, n_fine: int, n_coarse: int):
+    """The exact jitter draws hierarchical_sampling(key, ...) would make —
+    exposed so the ray-sharded DP path can draw once and shard rows."""
+    k1, k2 = jax.random.split(key)
+    return (jax.random.uniform(k1, (n_rays, n_fine)),
+            jax.random.uniform(k2, (n_rays, n_coarse)))
 
 
 def hierarchical_sampling(key, n_fine: int, n_coarse: int,
                           depths: jnp.ndarray, surface: jnp.ndarray,
                           ray_dirs: jnp.ndarray, cam_loc: jnp.ndarray,
-                          offset_distance: float
+                          offset_distance: float,
+                          ts: Tuple[jnp.ndarray, jnp.ndarray] | None = None
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fine samples in a +-offset band around the surface + coarse samples
     from the camera, merged sorted (reference render_utils.py:191-233).
 
     depths/surface: [N] / [N, 3].  Returns (pts [N, S, 3], dists [N, S, 1]).
+    ``ts`` optionally supplies the (fine, coarse) jitter draws (see
+    draw_sampling_uniforms).
     """
-    k1, k2 = jax.random.split(key)
+    if ts is not None:
+        t_fine, t_coarse = ts
+        k1 = k2 = None
+    else:
+        k1, k2 = jax.random.split(key)
+        t_fine = t_coarse = None
     negative_offset = jnp.where(depths - offset_distance < 0,
                                 depths, offset_distance)
     start_pts = surface - negative_offset[:, None] * ray_dirs
     start_depths = jnp.linalg.norm(start_pts - cam_loc[None, :], axis=-1)
 
     fine = stratified_sampling(
-        k1, n_fine, jnp.full_like(depths, 2.0 * offset_distance)[:, None])
+        k1, n_fine, jnp.full_like(depths, 2.0 * offset_distance)[:, None],
+        t=t_fine)
     fine = fine + start_depths[:, None, None]
-    coarse = stratified_sampling(k2, n_coarse, depths[:, None])
+    coarse = stratified_sampling(k2, n_coarse, depths[:, None], t=t_coarse)
 
     dists = jnp.sort(jnp.concatenate([fine, coarse], axis=1), axis=1)
     pts = cam_loc[None, None, :] + dists * ray_dirs[:, None, :]
@@ -157,7 +178,8 @@ def render_rays_sdf(features: jnp.ndarray, table: tbl.AnyTable,
 def prepare_render(table, rays: Rays, key, bound_min: jnp.ndarray,
                     voxel_size: float, truncated_units: int,
                     truncated_dist: float, ray_max_dist: float,
-                    sdf_delta: jnp.ndarray | None, n_xyz: jnp.ndarray):
+                    sdf_delta: jnp.ndarray | None, n_xyz: jnp.ndarray,
+                    ts=None):
     """Feature-independent half of render_rays_sdf: sampling + gather prep.
 
     Pairs with eval_render_loss: differentiating only the feature-dependent
@@ -167,7 +189,8 @@ def prepare_render(table, rays: Rays, key, bound_min: jnp.ndarray,
     gt_depths = jnp.linalg.norm(rays.gt_pts - cam_loc[None, :], axis=-1)
     pts, _ = hierarchical_sampling(
         key, truncated_units * 2, int(ray_max_dist * 5), gt_depths,
-        rays.gt_pts, ray_dirs, cam_loc, offset_distance=truncated_dist)
+        rays.gt_pts, ray_dirs, cam_loc, offset_distance=truncated_dist,
+        ts=ts)
     n, s = pts.shape[:2]
     prep = fusion.decode_prepare(table, pts.reshape(n * s, 3), bound_min,
                                  voxel_size, sdf_delta=sdf_delta,
@@ -179,22 +202,24 @@ def eval_render_loss(gathered_feats: jnp.ndarray, prep, params,
                      rays: Rays, pts: jnp.ndarray, cam_loc: jnp.ndarray,
                      voxel_size: float, min_pts_in_grid: int,
                      truncated_dist: float, compute_dtype=jnp.float32,
-                     per_ray: bool = False):
+                     per_ray: bool = False, reduce: str = "mean"):
     """Differentiable tail: gathered feature rows -> chunk loss.
 
     eval_render_loss(features[prep.slots], ...) equals calculate_loss's
-    loss output exactly."""
+    loss output exactly.  ``reduce="sum"`` returns (summed error,
+    valid-ray count) instead of the masked mean — the ray-sharded DP path
+    psums both halves so the global masked mean matches single-device."""
     n, s = pts.shape[:2]
     pred = fusion.decode_eval(gathered_feats, prep, params, voxel_size,
                               min_pts_in_grid,
                               compute_dtype=compute_dtype).reshape(n, s)
     return compute_sdf_loss(rays, pred, pts, cam_loc, truncated_dist,
-                            per_ray=per_ray)
+                            per_ray=per_ray, reduce=reduce)
 
 
 def compute_sdf_loss(rays: Rays, pred_sdf: jnp.ndarray, pred_pts: jnp.ndarray,
                      cam_loc: jnp.ndarray, truncated_dist: float,
-                     per_ray: bool = False):
+                     per_ray: bool = False, reduce: str = "mean"):
     """Neighborhood-corrected truncated L1 SDF loss
     (reference render_utils.compute_sdf_loss:508-549).
 
@@ -219,6 +244,9 @@ def compute_sdf_loss(rays: Rays, pred_sdf: jnp.ndarray, pred_pts: jnp.ndarray,
     num_valid = jnp.sum(rays.mask) + 1e-4
     l1 = jnp.abs(pred_sdf - gt_nearest_signed) * valid_map
     ray_err = jnp.sum(l1, axis=-1) * rays.mask
+    if reduce == "sum":
+        # partial numerator/denominator for a cross-device masked mean
+        return jnp.sum(ray_err), jnp.sum(rays.mask)
     loss = jnp.sum(ray_err) / num_valid
     if per_ray:
         return loss, ray_err

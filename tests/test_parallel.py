@@ -108,3 +108,96 @@ def test_sharded_optimize_step_runs_and_matches_grads(rng, params):
     assert float(jnp.max(jnp.abs(feats - t.features))) > 0
     # weights only grew (count_optim bump)
     assert float(jnp.min(weights - t.weights)) >= 0
+
+
+def _frame_inputs(rng, h=48, w=64):
+    """A synthetic depth frame looking at a slanted plane."""
+    depth = (1.0 + 0.3 * rng.rand(h, w)).astype(np.float32)
+    T_wc = np.eye(4, dtype=np.float32)
+    T_wc[:3, 3] = [0, 0, -1.2]
+    intr = np.array([[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]],
+                    np.float32)
+    return (jnp.asarray(depth), jnp.asarray(T_wc), jnp.asarray(intr))
+
+
+def test_sharded_optimize_iter_matches_single_device(rng, params):
+    """The ray-DP iteration (make_sharded_optimize_iter) is a drop-in for
+    the single-device optimize step: same rays, same chunk schedule, same
+    masked mean, same bumps — results equal up to float reduction order
+    (VERDICT round-2 item 2)."""
+    from bnv_fusion_tpu.parallel import make_sharded_optimize_iter
+
+    bound_min, bound_max, pts, normals = _scene(rng, n=2048)
+    vs, min_pts = 0.1, 1
+    t = tbl.create_table(8, 4096, n_xyz=[24, 24, 24])
+    t, _ = fusion.fuse_frame(
+        t, params, jnp.asarray(pts), jnp.asarray(normals),
+        jnp.ones((len(pts),), bool), jnp.asarray(bound_min),
+        jnp.asarray(bound_max), vs, min_pts)
+
+    depth, T_wc, intr = _frame_inputs(rng)
+    n_xyz = jnp.asarray(np.array([22, 22, 22], np.int32))
+    kw = dict(voxel_size=vs, min_pts_in_grid=min_pts, truncated_units=2,
+              truncated_dist=0.1, ray_max_dist=2.0)
+    n_rays, splits = 128, 64
+
+    opt1, step1, _multi = optimize.make_optimize_step(
+        params, n_rays=n_rays, train_ray_splits=splits, lr=1e-3, **kw)
+    # fresh buffer copies: both steps donate their state, and the states
+    # would otherwise alias the same table buffers
+    s1 = optimize.init_optim_state(opt1, t)._replace(
+        features=jnp.array(t.features), weights=jnp.array(t.weights))
+
+    mesh = make_mesh(8)
+    opt8, step8 = make_sharded_optimize_iter(
+        mesh, params, n_rays=n_rays, train_ray_splits=splits,
+        example_table=t, lr=1e-3, **kw)
+    s8 = optimize.init_optim_state(opt8, t)._replace(
+        features=jnp.array(t.features), weights=jnp.array(t.weights))
+
+    for i in range(3):
+        key = jax.random.key(100 + i)
+        s1, loss1 = step1(s1, t, depth, T_wc, intr,
+                          jnp.asarray(bound_min), n_xyz, None, key)
+        s8, loss8 = step8(s8, t, depth, T_wc, intr,
+                          jnp.asarray(bound_min), n_xyz, None, key)
+        # chunk losses: step1 returns the mean over chunks, step8 likewise
+        np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4,
+                                   atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.weights), np.asarray(s8.weights),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.features),
+                               np.asarray(s8.features), rtol=1e-4, atol=1e-6)
+
+
+def test_neural_map_sharded_optimize(rng, params):
+    """NeuralMap.optimize with trainer.optimize_devices=8 runs the wired
+    sharded path and matches the single-device trajectory."""
+    from bnv_fusion_tpu.config import load_config
+    from bnv_fusion_tpu.pipeline import NeuralMap
+
+    overrides = [
+        "model.voxel_size=0.05",
+        "dataset.num_pixels=128",
+        "model.train_ray_splits=64",
+        "model.table_capacity=16384",
+        "model.min_pts_in_grid=1",
+    ]
+    dims = np.array([2.0, 2.0, 2.0], np.float32)
+    frames = []
+    for i in range(2):
+        depth, T_wc, intr = _frame_inputs(rng)
+        frames.append({"depth": np.asarray(depth), "T_wc": np.asarray(T_wc),
+                       "intr_mat": np.asarray(intr), "frame_id": i})
+
+    results = {}
+    for dev in (1, 8):
+        cfg = load_config(overrides + [f"trainer.optimize_devices={dev}"])
+        nm = NeuralMap(dims, cfg, params)
+        for f in frames:
+            nm.integrate(f)
+        nm.optimize(3)
+        results[dev] = np.asarray(nm.table.features)
+        assert np.all(np.isfinite(results[dev]))
+    assert np.abs(results[1]).max() > 0
+    np.testing.assert_allclose(results[8], results[1], rtol=2e-4, atol=1e-6)
