@@ -183,6 +183,9 @@ def test_pipeline_uses_frustum_window_on_big_scenes(pretrained_tcnn_path):
         "dataset.num_images=4", "model.voxel_size=0.08",
         "model.table_capacity=131072", "model.min_pts_in_grid=3",
         "model.ray_tracer.ray_max_dist=2.0",
+        # force the dense layout: this test exercises the WINDOW path (the
+        # auto routing would otherwise pick the block-sparse prior here)
+        "model.tsdf_layout=dense",
     ]
     params = load_pretrained(pretrained_tcnn_path)
     cfg_w = load_config(base)
@@ -206,3 +209,107 @@ def test_pipeline_uses_frustum_window_on_big_scenes(pretrained_tcnn_path):
     # extra f32 add changes the last bit of a handful of projections
     np.testing.assert_allclose(np.asarray(nm_w.tsdf_vol.sdf),
                                np.asarray(nm_d.tsdf_vol.sdf), atol=1e-5)
+
+
+def test_block_tsdf_matches_dense(rng):
+    """Frustum-exact block updates (integrate_blocks) produce the SAME
+    volume as the dense integrate — updated voxels bit-equal, untouched
+    voxels keep the -trunc init (VERDICT round-2 item 4: the sparse scalar
+    TSDF twin, reference src/models/sparse_volume.py:16-481)."""
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu import tsdf
+
+    dims = np.array([2.0, 2.0, 1.5], np.float32)
+    vs = 0.05
+    h, w = 48, 64
+    intr = np.array([[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]],
+                    np.float32)
+    vol_d, _ = tsdf.create_tsdf_volume(dims, vs)
+    vol_b, _ = tsdf.create_tsdf_volume_bm(dims, vs)
+    mb = tsdf.frustum_max_blocks(intr, (h, w), 2.0, vs, vol_b.nb_xyz)
+
+    for i in range(3):
+        depth = (0.8 + 0.6 * rng.rand(h, w)).astype(np.float32)
+        depth[rng.rand(h, w) < 0.1] = 0.0
+        # slightly rotated camera: an axis-aligned one projects voxel rows
+        # EXACTLY onto half-pixel boundaries, where FMA/excess-precision
+        # differences between the two program structures flip the rounding
+        # (bounded, measure-zero on real data — documented in tsdf.py)
+        a = 0.07 + 0.05 * i
+        T_wc = np.eye(4, dtype=np.float32)
+        T_wc[:3, :3] = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                                 [-np.sin(a), 0, np.cos(a)]], np.float32)
+        T_wc[:3, 3] = [0.2 * i - 0.2, 0.1, -1.0]
+        vol_d = tsdf.integrate(vol_d, jnp.asarray(depth), jnp.asarray(intr),
+                               jnp.asarray(T_wc), vs)
+        vol_b = tsdf.integrate_blocks(
+            vol_b, jnp.asarray(depth), jnp.asarray(intr), jnp.asarray(T_wc),
+            vs, mb, max_depth=2.0)
+
+    assert int(np.asarray(vol_b.overflow)) == 0
+    dense_from_b = tsdf.as_dense(vol_b)
+    np.testing.assert_array_equal(np.asarray(dense_from_b.weight),
+                                  np.asarray(vol_d.weight))
+    np.testing.assert_allclose(np.asarray(dense_from_b.sdf),
+                               np.asarray(vol_d.sdf), atol=1e-6)
+
+
+def test_block_tsdf_dense_roundtrip(rng):
+    from bnv_fusion_tpu import tsdf
+    import jax.numpy as jnp
+
+    dims = np.array([1.3, 0.9, 0.7], np.float32)  # non-multiple-of-4 grid
+    vol_b, _ = tsdf.create_tsdf_volume_bm(dims, 0.05)
+    dense = rng.randn(*vol_b.vol_dim).astype(np.float32)
+    back = tsdf.bm_to_dense(
+        vol_b.replace(sdf=tsdf.dense_to_bm(vol_b, jnp.asarray(dense))),
+        "sdf")
+    np.testing.assert_array_equal(np.asarray(back), dense)
+
+
+def test_block_tsdf_pipeline_layout(rng, pretrained_tcnn_path):
+    """model.tsdf_layout=blocks routes the pipeline's prior through the
+    sparse update; fused results match the dense layout."""
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu import tsdf
+    from bnv_fusion_tpu.checkpoint import load_pretrained
+    from bnv_fusion_tpu.config import load_config
+    from bnv_fusion_tpu.datasets import get_dataset
+    from bnv_fusion_tpu.pipeline import NeuralMap
+
+    params = load_pretrained(pretrained_tcnn_path)
+    vols = {}
+    for layout in ("dense", "blocks"):
+        cfg = load_config([
+            "model.voxel_size=0.06", "model.min_pts_in_grid=3",
+            "dataset.num_images=3", "dataset.img_res=[60,80]",
+            "model.table_capacity=65536",
+            f"model.tsdf_layout={layout}",
+        ])
+        ds = get_dataset(cfg, "val")
+        nm = NeuralMap(ds.dimensions, cfg, params)
+        for i in range(3):
+            nm.integrate(ds[i])
+        vols[layout] = (np.asarray(tsdf.as_dense(nm.tsdf_vol).sdf),
+                        np.asarray(tsdf.as_dense(nm.tsdf_vol).weight))
+        if layout == "blocks":
+            assert isinstance(nm.tsdf_vol, tsdf.TSDFVolumeBM)
+            assert int(np.asarray(nm.tsdf_vol.overflow)) == 0
+            # save/load roundtrip through the dense .npy format
+            prefix = "/tmp/_bm_test"
+            nm.save(prefix)
+            nm2 = NeuralMap(ds.dimensions, cfg, params)
+            nm2.load_map(prefix)
+            np.testing.assert_allclose(
+                np.asarray(tsdf.as_dense(nm2.tsdf_vol).sdf),
+                vols["blocks"][0], atol=1e-6)
+    # voxels projecting EXACTLY onto half-pixel boundaries may round to the
+    # neighbouring pixel under the two program structures (FMA/excess
+    # precision) — bounded, measure-zero on real data
+    sd, wd = vols["dense"]
+    sb, wb = vols["blocks"]
+    boundary = wd != wb
+    assert boundary.mean() < 1e-4, boundary.mean()
+    np.testing.assert_allclose(sb[~boundary], sd[~boundary], atol=1e-5)
