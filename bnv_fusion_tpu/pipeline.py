@@ -80,9 +80,24 @@ class NeuralMap:
         # optional RGB fusion into the prior volume (reference frames are
         # rgbd and third_parties/fusion.py fuses color; geometry is unaffected)
         self.fuse_color = bool(getattr(m, "fuse_color", False))
-        self.tsdf_vol, _ = tsdf.create_tsdf_volume(
-            self.dimensions, self.tsdf_voxel_size,
-            with_color=self.fuse_color)
+        # prior layout: dense [X,Y,Z] for small scenes; block-major bricks
+        # with frustum-exact sparse updates (tsdf.integrate_blocks) once the
+        # prior grid outgrows the frustum (model.tsdf_layout=auto routing)
+        layout = str(getattr(m, "tsdf_layout", "auto"))
+        min_c2, max_c2, _ = vx.get_world_range(self.dimensions,
+                                               self.tsdf_voxel_size)
+        prior_vox = int(np.prod(np.ceil(
+            (max_c2 - min_c2) / self.tsdf_voxel_size)))
+        use_blocks = (layout == "blocks" or
+                      (layout == "auto" and prior_vox >= 8_000_000))
+        if use_blocks:
+            self.tsdf_vol, _ = tsdf.create_tsdf_volume_bm(
+                self.dimensions, self.tsdf_voxel_size,
+                with_color=self.fuse_color)
+        else:
+            self.tsdf_vol, _ = tsdf.create_tsdf_volume(
+                self.dimensions, self.tsdf_voxel_size,
+                with_color=self.fuse_color)
 
         self.frames: List[Dict[str, Any]] = []
         self._fuse_step = None
@@ -109,6 +124,8 @@ class NeuralMap:
         if frame is None or not bool(getattr(self.config.model,
                                              "tsdf_frustum_window", True)):
             return None
+        if isinstance(self.tsdf_vol, tsdf.TSDFVolumeBM):
+            return None  # block volumes use frustum-exact sparse updates
         intr = np.asarray(frame["intr_mat"], np.float32)
         hw = np.asarray(frame["depth"]).shape
         shape = self.tsdf_vol.sdf.shape
@@ -135,6 +152,20 @@ class NeuralMap:
                 self._window_disabled = True
                 return
 
+    def _tsdf_max_blocks(self, frame0) -> int | None:
+        """Static active-block bound for the block-major prior (from the
+        build-time frame's intrinsics; drift guarded like the window)."""
+        if not isinstance(self.tsdf_vol, tsdf.TSDFVolumeBM):
+            return None
+        if frame0 is None:
+            raise ValueError("block TSDF volume needs a frame to size the "
+                             "frustum block budget")
+        intr = np.asarray(frame0["intr_mat"], np.float32)
+        self._window_intr = intr
+        return tsdf.frustum_max_blocks(
+            intr, np.asarray(frame0["depth"]).shape, self.ray_max_dist,
+            self.tsdf_voxel_size, self.tsdf_vol.nb_xyz)
+
     def _fuse_step_body(self, frame0=None):
         """The per-frame fusion computation (unjitted; shared by the
         per-frame and batched launchers)."""
@@ -159,6 +190,7 @@ class NeuralMap:
         algorithm = str(getattr(self.config.model, "fuse_algorithm", "cell"))
         window = (None if getattr(self, "_window_disabled", False)
                   else self._tsdf_window_for(frame0))
+        max_blocks = self._tsdf_max_blocks(frame0)
         max_depth = self.ray_max_dist
 
         fuse_color = self.fuse_color
@@ -193,7 +225,11 @@ class NeuralMap:
                 vs, min_pts, compute_dtype=fuse_dtype,
                 max_unique=max_unique, algorithm=algorithm,
                 max_unique_cells=mu_cells)
-            if window is not None:
+            if max_blocks is not None:
+                tsdf_vol = tsdf.integrate_blocks(
+                    tsdf_vol, depth, intr, T_wc, tsdf_vs, max_blocks,
+                    max_depth, rgb=rgb if fuse_color else None)
+            elif window is not None:
                 tsdf_vol = tsdf.integrate_windowed(
                     tsdf_vol, depth, intr, T_wc, tsdf_vs, window, max_depth,
                     rgb=rgb if fuse_color else None)
@@ -254,7 +290,20 @@ class NeuralMap:
         fuse_color = self.fuse_color
         window = (None if getattr(self, "_window_disabled", False)
                   else self._tsdf_window_for(frame0))
+        max_blocks = self._tsdf_max_blocks(frame0)
         max_depth = self.ray_max_dist
+
+        # batched Pallas segmented-reduce kernel: a pallas_call costs ~4 ms
+        # FIXED on the tunneled TPU runtime, so the kernel only pays when
+        # the K frames of a launch share one call (fusion.
+        # _cellsort_reduce_batched); "auto" = on for TPU, off for CPU
+        sk_cfg = str(getattr(m, "use_seg_reduce_kernel", "auto")).lower()
+        if sk_cfg == "auto":
+            seg_kernel = jax.devices()[0].platform != "cpu"
+        elif sk_cfg == "interpret":
+            seg_kernel = "interpret"
+        else:
+            seg_kernel = sk_cfg in ("true", "1")
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(table, tsdf_vol, params, depths, T_wcs, intrs,
@@ -265,7 +314,7 @@ class NeuralMap:
                 table, params, pts_w, normals_w, valid, bound_min,
                 bound_max, vs, min_pts, compute_dtype=fuse_dtype,
                 max_unique=max_unique, max_unique_cells=mu_cells,
-                max_unique_batch=mu_batch)
+                max_unique_batch=mu_batch, seg_kernel=seg_kernel)
 
             # TSDF prior stays a per-frame scan: the vmapped single-pass
             # variant (tsdf.integrate_batch) materializes K dense
@@ -275,7 +324,11 @@ class NeuralMap:
             def tsdf_body(vol, frame):
                 depth, T_wc, intr = frame[0], frame[1], frame[2]
                 rgb = frame[3] if len(frame) > 3 else None
-                if window is not None:
+                if max_blocks is not None:
+                    vol = tsdf.integrate_blocks(
+                        vol, depth, intr, T_wc, tsdf_vs, max_blocks,
+                        max_depth, rgb=rgb if fuse_color else None)
+                elif window is not None:
                     vol = tsdf.integrate_windowed(
                         vol, depth, intr, T_wc, tsdf_vs, window, max_depth,
                         rgb=rgb if fuse_color else None)
@@ -422,6 +475,10 @@ class NeuralMap:
         pass over all frames (fusion_refiner.py:288-315)."""
         if not self.frames:
             return
+        n_dev = self._optimize_devices()
+        if n_dev > 1:
+            return self._optimize_sharded(n_iters, last_frame, lr,
+                                          frame_order, n_dev)
         error_guided = bool(getattr(self.config.model,
                                     "error_guided_sampling", False))
         if getattr(self, "_optim_lr", None) != lr:
@@ -507,6 +564,75 @@ class NeuralMap:
         self.table = self.table.replace(features=state.features,
                                         weights=state.weights)
 
+    def _optimize_devices(self) -> int:
+        """trainer.optimize_devices: 1 = single chip (default), N = shard
+        rays over an N-device DP mesh, "all"/0 = every visible device."""
+        cfg = getattr(self.config.trainer, "optimize_devices", 1)
+        if str(cfg) in ("all", "0"):
+            return jax.device_count()
+        return int(cfg)
+
+    def _optimize_sharded(self, n_iters: int, last_frame: int, lr: float,
+                          frame_order: str, n_dev: int):
+        """Ray-DP global fusion over an n_dev mesh
+        (parallel.make_sharded_optimize_iter; VERDICT round-2 item 2).
+
+        Iteration semantics match the single-device path exactly (shared
+        RNG structure, psum-ed masked mean, pmax bumps) — see
+        tests/test_parallel.py::test_neural_map_sharded_optimize."""
+        from bnv_fusion_tpu.parallel import (make_mesh,
+                                             make_sharded_optimize_iter)
+
+        if bool(getattr(self.config.model, "error_guided_sampling", False)):
+            raise ValueError(
+                "error_guided_sampling is not supported with "
+                "trainer.optimize_devices > 1 (the per-frame error maps are "
+                "host state); set one or the other")
+        key_cfg = (n_dev, lr)
+        if getattr(self, "_sharded_optim_key", None) != key_cfg:
+            mesh = make_mesh(n_dev)
+            self._sharded_opt, self._sharded_step = \
+                make_sharded_optimize_iter(
+                    mesh, self.params, self.voxel_size, self.min_pts_in_grid,
+                    self.truncated_units, self.truncated_dist,
+                    self.ray_max_dist, n_rays=self.sampling_size,
+                    train_ray_splits=self.train_ray_splits,
+                    example_table=self.table, lr=lr,
+                    neighbor_kernel=int(getattr(self.config.model,
+                                                "neighbor_kernel", 3)))
+            self._sharded_optim_key = key_cfg
+        sdf_delta = tsdf.prepare_sdf_delta(
+            self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
+            self.sdf_delta_weight)
+        state = optimize.init_optim_state(self._sharded_opt, self.table)
+
+        lo = 0 if last_frame < 0 else max(0, last_frame)
+        frame_pool = self.frames[lo:]
+        # consume frame indices and PRNG keys in the exact same group
+        # structure as the single-device loop, so for a given seed both
+        # paths optimize identical (frame, ray) sequences
+        group = int(getattr(self.config.model, "optim_iters_per_launch", 4))
+        rng = np.random.RandomState(
+            int(jax.random.randint(self._rng_key, (), 0, 2 ** 31 - 1)))
+        self._rng_key, _ = jax.random.split(self._rng_key)
+        done = 0
+        while done < int(n_iters):
+            k = min(group, int(n_iters) - done)
+            if frame_order == "epoch":
+                fis = (done + np.arange(k)) % len(frame_pool)
+            else:
+                fis = rng.randint(0, len(frame_pool), size=k)
+            self._rng_key, k_step = jax.random.split(self._rng_key)
+            keys = jax.random.split(k_step, k)
+            for j in range(k):
+                f = frame_pool[fis[j]]
+                state, _ = self._sharded_step(
+                    state, self.table, f["depth"], f["T_wc"], f["intr"],
+                    self.bound_min, self.n_xyz, sdf_delta, keys[j])
+            done += k
+        self.table = self.table.replace(features=state.features,
+                                        weights=state.weights)
+
     # ------------------------------------------------------------------
     # meshing / io
     # ------------------------------------------------------------------
@@ -569,7 +695,7 @@ class NeuralMap:
                                       "mesh_lattice_scale", 2)))
         if mesh is not None and self.fuse_color and len(mesh.vertices):
             colors = tsdf.sample_color(
-                self.tsdf_vol, jnp.asarray(mesh.vertices),
+                tsdf.as_dense(self.tsdf_vol), jnp.asarray(mesh.vertices),
                 self.tsdf_voxel_size)
             mesh = mesh._replace(colors=np.asarray(colors))
         return mesh
@@ -620,7 +746,8 @@ class NeuralMap:
             "voxel_size": np.float32(self.voxel_size),
         })
         np.save(path_prefix + "_tsdf.npy",
-                np.asarray(self.tsdf_vol.sdf) * (self.tsdf_voxel_size * 5))
+                np.asarray(tsdf.as_dense(self.tsdf_vol).sdf) *
+                (self.tsdf_voxel_size * 5))
 
     def load_volume(self, path: str):
         data = ckpt_io.load_state(path)
@@ -635,6 +762,16 @@ class NeuralMap:
         self.load_volume(path_prefix + "_sparse_volume.npz")
         metric = np.load(path_prefix + "_tsdf.npy")
         normalized = metric / (self.tsdf_voxel_size * 5.0)
+        if isinstance(self.tsdf_vol, tsdf.TSDFVolumeBM):
+            if tuple(normalized.shape) != tuple(self.tsdf_vol.vol_dim):
+                raise ValueError(
+                    f"tsdf prior shape {normalized.shape} != volume "
+                    f"{self.tsdf_vol.vol_dim}")
+            self.tsdf_vol = self.tsdf_vol.replace(
+                sdf=tsdf.dense_to_bm(self.tsdf_vol,
+                                     jnp.asarray(normalized, jnp.float32)),
+                weight=jnp.ones_like(self.tsdf_vol.weight))
+            return
         if normalized.shape != self.tsdf_vol.sdf.shape:
             raise ValueError(
                 f"tsdf prior shape {normalized.shape} != volume "

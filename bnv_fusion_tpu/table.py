@@ -32,6 +32,17 @@ import jax.numpy as jnp
 from flax import struct
 
 MAX_PROBE = 32
+# the unrolled (TPU) probe budget: lax.while_loop probing compiles/runs
+# pathologically on the tunneled TPU runtime (round-1 finding), so on
+# non-CPU backends the probe sweep is a STATIC python unroll.  8 rounds at
+# the <= 0.5 load factors the capacity sizing targets resolve essentially
+# every key; the remainder is dropped + counted in table.overflow exactly
+# like MAX_PROBE exhaustion.
+UNROLL_PROBE = 12
+
+
+def _unrolled_default() -> bool:
+    return jax.default_backend() != "cpu"
 
 # plain ints: creating jnp scalars at import time would initialize the backend
 _P1 = 0x9E3779B1
@@ -82,30 +93,47 @@ def _hash_coords(coords: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
 
 
+def _probe_stride(coords: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Odd double-hash stride (full cycle over a pow2 capacity): linear
+    probing clusters past the static UNROLL_PROBE budget at moderate load
+    factors; double hashing keeps the probe sequences independent."""
+    p3 = jnp.uint32(_P3)
+    x = coords[..., 0].astype(jnp.uint32) * jnp.uint32(_P2)
+    y = coords[..., 1].astype(jnp.uint32) * jnp.uint32(_P3)
+    z = coords[..., 2].astype(jnp.uint32) * jnp.uint32(_P1)
+    h = (x ^ (y >> 3) ^ (z << 5)) + p3
+    return ((h | jnp.uint32(1)) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+
+
 def lookup(table: SparseVoxelTable, query: jnp.ndarray,
-           valid: jnp.ndarray | None = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+           valid: jnp.ndarray | None = None,
+           unroll: bool | None = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Find slots for [M, 3] int32 keys.
 
     Returns (slots [M] int32 — arbitrary where not found, found [M] bool).
     Replaces HashMap.find (reference src/models/sparse_volume.py:681-695);
     missing keys behave as zero-valued entries at the caller.
+
+    ``unroll`` (default: auto by backend) selects the probe strategy: on CPU
+    an early-exit while_loop over up to MAX_PROBE rounds; on TPU a static
+    UNROLL_PROBE-round sweep (dynamic loops are catastrophically slow on
+    the target runtime — measured in RESULTS.md).
     """
     cap = table.capacity
     h0 = _hash_coords(query, cap)
+    stride = _probe_stride(query, cap)
     m = query.shape[0]
     slots = jnp.zeros((m,), jnp.int32)
     found = jnp.zeros((m,), bool)
     done = jnp.zeros((m,), bool)
     if valid is not None:
         done = ~valid
-
-    def cond(state):
-        i, _, _, done = state
-        return (i < MAX_PROBE) & jnp.any(~done)
+    if unroll is None:
+        unroll = _unrolled_default()
 
     def body(state):
         i, slots, found, done = state
-        cand = (h0 + i) & (cap - 1)
+        cand = (h0 + i * stride) & (cap - 1)
         k = table.keys[cand]                      # [M, 3] gather
         is_match = jnp.all(k == query, axis=-1) & ~done
         is_empty = (k[:, 0] < 0) & ~done
@@ -113,6 +141,17 @@ def lookup(table: SparseVoxelTable, query: jnp.ndarray,
         found = found | is_match
         done = done | is_match | is_empty
         return i + 1, slots, found, done
+
+    if unroll:
+        state = (jnp.int32(0), slots, found, done)
+        for _ in range(UNROLL_PROBE):
+            state = body(state)
+        _, slots, found, _ = state
+        return slots, found
+
+    def cond(state):
+        i, _, _, done = state
+        return (i < MAX_PROBE) & jnp.any(~done)
 
     # early-exit: at sane load factors almost every key resolves in 1-2
     # probes, so a while_loop beats a fixed MAX_PROBE sweep by ~10x HBM traffic
@@ -122,24 +161,31 @@ def lookup(table: SparseVoxelTable, query: jnp.ndarray,
 
 
 def insert(table: SparseVoxelTable, new_keys: jnp.ndarray,
-           valid: jnp.ndarray) -> Tuple[SparseVoxelTable, jnp.ndarray, jnp.ndarray]:
+           valid: jnp.ndarray, unroll: bool | None = None
+           ) -> Tuple[SparseVoxelTable, jnp.ndarray, jnp.ndarray]:
     """Insert-or-find [M, 3] keys (duplicates allowed); values untouched.
 
     Returns (table, slots [M] int32, ok [M] bool).  ``ok`` is False for
-    invalid entries and for keys dropped after MAX_PROBE rounds (counted in
+    invalid entries and for keys dropped after the probe budget (counted in
     table.overflow).  Replaces HashMap.insert + the overwrite path
     (reference src/models/sparse_volume.py:573-585), except values are
     updated separately via scatter (see apply_fusion_update).
+
+    Probe strategy as in ``lookup``: while_loop on CPU, a static
+    UNROLL_PROBE-round sweep on TPU.
     """
     cap = table.capacity
     m = new_keys.shape[0]
     h0 = _hash_coords(new_keys, cap)
+    stride = _probe_stride(new_keys, cap)
     ticket = jnp.arange(m, dtype=jnp.int32)
 
     keys = table.keys
     slots = jnp.zeros((m,), jnp.int32)
     pending = valid
     resolved = jnp.zeros((m,), bool)
+    if unroll is None:
+        unroll = _unrolled_default()
 
     def round_cond(state):
         i, _, _, pending, _ = state
@@ -147,7 +193,7 @@ def insert(table: SparseVoxelTable, new_keys: jnp.ndarray,
 
     def round_body(state):
         i, keys, slots, pending, resolved = state
-        cand = (h0 + i) & (cap - 1)
+        cand = (h0 + i * stride) & (cap - 1)
         k = keys[cand]
         # phase 1: match existing
         is_match = jnp.all(k == new_keys, axis=-1) & pending
@@ -170,9 +216,15 @@ def insert(table: SparseVoxelTable, new_keys: jnp.ndarray,
         pending = pending & ~is_match2
         return i + 1, keys, slots, pending, resolved
 
-    _, keys, slots, pending, resolved = jax.lax.while_loop(
-        round_cond, round_body,
-        (jnp.int32(0), keys, slots, pending, resolved))
+    if unroll:
+        state = (jnp.int32(0), keys, slots, pending, resolved)
+        for _ in range(UNROLL_PROBE):
+            state = round_body(state)
+        _, keys, slots, pending, resolved = state
+    else:
+        _, keys, slots, pending, resolved = jax.lax.while_loop(
+            round_cond, round_body,
+            (jnp.int32(0), keys, slots, pending, resolved))
 
     overflow = table.overflow + jnp.sum(pending).astype(jnp.int32)
     return table.replace(keys=keys, overflow=overflow), slots, resolved

@@ -123,3 +123,33 @@ def test_save_load_roundtrip(rng):
     order = {tuple(k): i for i, k in enumerate(keys)}
     expect = f[[order[tuple(c)] for c in coords]]
     np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_unrolled_probe_matches_while_loop(rng):
+    """The TPU probe strategy (static UNROLL_PROBE sweep) resolves the same
+    slots/matches as the CPU while_loop at sane load factors."""
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu import table as tbl
+
+    cap = 1024
+    keys = rng.randint(0, 50, size=(400, 3)).astype(np.int32)
+    valid = np.ones((400,), bool)
+
+    t_loop = tbl.create_table(cap, 4)
+    t_loop, s1, ok1 = tbl.insert(t_loop, jnp.asarray(keys),
+                                 jnp.asarray(valid), unroll=False)
+    t_unr = tbl.create_table(cap, 4)
+    t_unr, s2, ok2 = tbl.insert(t_unr, jnp.asarray(keys),
+                                jnp.asarray(valid), unroll=True)
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert int(np.asarray(t_unr.overflow)) == 0
+
+    q = np.concatenate([keys[:100], rng.randint(60, 99, size=(50, 3))
+                        .astype(np.int32)])
+    sl1, f1 = tbl.lookup(t_loop, jnp.asarray(q), unroll=False)
+    sl2, f2 = tbl.lookup(t_unr, jnp.asarray(q), unroll=True)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(sl1)[np.asarray(f1)],
+                                  np.asarray(sl2)[np.asarray(f2)])
