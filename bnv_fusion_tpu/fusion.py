@@ -539,7 +539,8 @@ def _cellsort_reduce_batched(params, pts_w, normals, valid, bound_min,
                              bound_max, voxel_size, compute_dtype,
                              max_unique, max_unique_cells, n_xyz, n_vox,
                              fdim, interpret: bool = False,
-                             seg_tile: int = 2048):
+                             seg_tile: int = 2048,
+                             sort_bf16: bool = False):
     """K-frame batched _cellsort_reduce with the Pallas segmented-reduce
     kernel replacing both cumsum+compaction-sort reductions.
 
@@ -597,12 +598,46 @@ def _cellsort_reduce_batched(params, pts_w, normals, valid, bound_min,
                    jnp.broadcast_to(gcnt[:, :, None], (kf, u_cell, 8)),
                    0).reshape(kf, m2)
 
-    ops2 = jax.vmap(lambda k, c, *f: jax.lax.sort((k,) + f + (c,),
-                                                  num_keys=1))(
-        ck, c2, *fch)
-    ck_s = ops2[0]
-    f2_s = jnp.stack(ops2[1:1 + fdim], axis=1)          # [K, F, m2]
-    c2_s = ops2[-1][:, None, :]                         # [K, 1, m2]
+    if sort_bf16:
+        # halve the stage-2 sort's payload traffic: per-cell partial sums
+        # quantize to bfloat16 (~0.4% of their std) and ride PACKED as
+        # int32 pairs — 6 sort operands instead of 10.  model.fuse_sort_bf16
+        # opts in (off by default; quality impact measured in RESULTS.md).
+        def pack(a, b):
+            au = jax.lax.bitcast_convert_type(
+                a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+            bu = jax.lax.bitcast_convert_type(
+                b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+            return jax.lax.bitcast_convert_type(au | (bu << 16), jnp.int32)
+
+        packed = [pack(fch[2 * j], fch[2 * j + 1])
+                  for j in range(fdim // 2)]
+        ops2 = jax.vmap(lambda k, c, *p: jax.lax.sort((k,) + p + (c,),
+                                                      num_keys=1))(
+            ck, c2, *packed)
+        ck_s = ops2[0]
+
+        def unpack(p):
+            u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+            lo = jax.lax.bitcast_convert_type(
+                (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+            hi = jax.lax.bitcast_convert_type(
+                (u >> 16).astype(jnp.uint16), jnp.bfloat16)
+            return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+        f2_list = []
+        for p in ops2[1:1 + fdim // 2]:
+            lo, hi = unpack(p)
+            f2_list += [lo, hi]
+        f2_s = jnp.stack(f2_list, axis=1)               # [K, F, m2]
+        c2_s = ops2[-1][:, None, :]
+    else:
+        ops2 = jax.vmap(lambda k, c, *f: jax.lax.sort((k,) + f + (c,),
+                                                      num_keys=1))(
+            ck, c2, *fch)
+        ck_s = ops2[0]
+        f2_s = jnp.stack(ops2[1:1 + fdim], axis=1)      # [K, F, m2]
+        c2_s = ops2[-1][:, None, :]                     # [K, 1, m2]
 
     u = min(max_unique, m2)
     flat_u, _, cnt_i, sum_u, n_unique = seg_reduce_sorted(
@@ -622,11 +657,13 @@ def fuse_frames_merged(table, params: Dict[str, Any],
                        max_unique: int = 1 << 17,
                        max_unique_cells: int | None = None,
                        max_unique_batch: int | None = None,
-                       seg_kernel: bool | str = False):
+                       seg_kernel: bool | str = False,
+                       sort_bf16: bool = False):
     """Fuse K frames with ONE table update (the batched-launch fast path).
 
     ``seg_kernel`` routes the two segment reductions through the batched
-    Pallas kernel (_cellsort_reduce_batched; "interpret" for CPU tests).
+    Pallas kernel (_cellsort_reduce_batched; "interpret" for CPU tests);
+    ``sort_bf16`` packs the stage-2 sort payload as bf16 pairs.
 
     The per-frame running mean (reference local_point_fusion.py:647-673) is
     associative: folding frames i..j into old state equals one update with
@@ -650,7 +687,8 @@ def fuse_frames_merged(table, params: Dict[str, Any],
          n_valid) = _cellsort_reduce_batched(
             params, pts_w, normals, valid, bound_min, bound_max,
             voxel_size, compute_dtype, max_unique, max_unique_cells,
-            n_xyz, n_vox, fdim, interpret=(seg_kernel == "interpret"))
+            n_xyz, n_vox, fdim, interpret=(seg_kernel == "interpret"),
+            sort_bf16=sort_bf16)
     else:
         def reduce_one(p, nr, v):
             return _cellsort_reduce(params, p, nr, v, bound_min, bound_max,

@@ -52,7 +52,6 @@ DEFAULT_TILE = 2048
 
 def _shift_right(x, d, fill):
     """x[i] <- x[i-d] along the last (lane) axis; first d lanes <- fill."""
-    t = x.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
     return jnp.where(lane >= d, pltpu.roll(x, d, axis=len(x.shape) - 1), fill)
 

@@ -314,7 +314,8 @@ class NeuralMap:
                 table, params, pts_w, normals_w, valid, bound_min,
                 bound_max, vs, min_pts, compute_dtype=fuse_dtype,
                 max_unique=max_unique, max_unique_cells=mu_cells,
-                max_unique_batch=mu_batch, seg_kernel=seg_kernel)
+                max_unique_batch=mu_batch, seg_kernel=seg_kernel,
+                sort_bf16=bool(getattr(m, "fuse_sort_bf16", False)))
 
             # TSDF prior stays a per-frame scan: the vmapped single-pass
             # variant (tsdf.integrate_batch) materializes K dense

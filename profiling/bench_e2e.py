@@ -1,0 +1,86 @@
+"""End-to-end fps at the lounge operating point (VERDICT round-2 item 3).
+
+The reference's 2-5 fps claim is END-TO-END (reference README.md:17:
+local fusion + periodic/final global optimization + meshing); bench.py's
+headline is local fusion only.  This measures the comparable figure: fuse
+all 48 frames (K=8 merged launches), run the reference-formula global
+optimization (n_frames * skip iterations, run_e2e.py:284-287), extract
+the final mesh — wall time from first frame to final mesh, compiles
+excluded by a warmup pass over a disposable map.
+
+Prints one JSON line {metric, value, unit, vs_baseline}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bnv_fusion_tpu.config import load_config
+    from bnv_fusion_tpu.checkpoint import load_pretrained
+    from bnv_fusion_tpu.datasets import get_dataset
+    from bnv_fusion_tpu.pipeline import NeuralMap
+
+    cfg = load_config([
+        "model.voxel_size=0.01",
+        "dataset.num_images=48",
+        "dataset.img_res=[480,640]",
+        "dataset.stage_raw_depth=true",
+    ])
+    params = load_pretrained("/root/reference/pretrained/pointnet_tcnn.ckpt")
+    ds = get_dataset(cfg, "val")
+    frames = [ds[i] for i in range(len(ds))]
+    k = 8
+    skip = int(getattr(cfg.dataset, "skip_images", 1)) or 1
+    n_iters = len(frames) * max(skip, 1) * 2  # run_e2e.py:284-287 (non-demo)
+
+    def run(measure):
+        nm = NeuralMap(ds.dimensions, cfg, params)
+        t0 = time.time()
+        for i in range(0, len(frames) - k + 1, k):
+            nm.integrate_batch(frames[i:i + k])
+        t_local = time.time() - t0
+        t1 = time.time()
+        nm.optimize(n_iters)
+        t_global = time.time() - t1
+        t2 = time.time()
+        mesh = nm.extract_mesh(use_delta=True)
+        t_mesh = time.time() - t2
+        total = time.time() - t0
+        if measure:
+            print(f"local {t_local:.2f}s  global {t_global:.2f}s "
+                  f"({n_iters} iters)  mesh {t_mesh:.2f}s "
+                  f"({len(mesh.vertices)} verts)  total {total:.2f}s",
+                  file=sys.stderr)
+        return total
+
+    run(measure=False)               # warmup: compile everything
+    total = run(measure=True)
+    fps = len(frames) / total
+    print(json.dumps({
+        "metric": "END-TO-END fps @ voxel 0.01, 480x640, 48 frames (local "
+                  "fusion + reference-formula global optimization + final "
+                  "mesh; vs reference's 2-5 fps end-to-end claim)",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 5.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,10 +100,9 @@ def main():
             flat = depth_ref[...].reshape(hw)
             vals = jnp.take(flat, ids[0], axis=0)
         elif mode == "take2d":
-            # gather along sublanes: rows = ids // 128, col via one-hot?
             flat = depth_ref[...].reshape(1, hw)
             vals = jnp.take_along_axis(flat, ids, axis=1)
-        out_ref[0, 0] = jnp.sum(vals)
+        out_ref[0, 0, 0] = jnp.sum(vals)
 
     def vmem(mode):
         kern = partial(gather_kernel, mode)
@@ -118,9 +117,9 @@ def main():
                     pl.BlockSpec((1, 1, tile), lambda g: (0, 0, g),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, 1), lambda g: (g, 0),
+                out_specs=pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
                                        memory_space=pltpu.SMEM),
-                out_shape=jax.ShapeDtypeStruct((G, 1), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((G, 1, 1), jnp.float32),
             )(depth.reshape(2400, 128), idx.reshape(1, 1, n))
             return jnp.sum(r)
         return run

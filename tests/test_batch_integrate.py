@@ -139,3 +139,57 @@ def test_merged_fuse_seg_kernel_matches_xla(pretrained_tcnn_path):
     np.testing.assert_allclose(f1[o1], f2[o2], atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(s_x.n_valid_pts),
                                np.asarray(s_k.n_valid_pts))
+
+
+def test_merged_fuse_sort_bf16_close_to_f32(pretrained_tcnn_path):
+    """The packed-bf16 stage-2 sort payload (model.fuse_sort_bf16) fuses
+    tables within bf16 quantization of the exact path."""
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu import fusion, geometry
+    from bnv_fusion_tpu import voxel as vx
+
+    cfg = load_config([
+        "model.voxel_size=0.06", "model.min_pts_in_grid=3",
+        "dataset.num_images=2", "dataset.img_res=[60,80]",
+        "model.table_capacity=65536",
+    ])
+    from bnv_fusion_tpu.datasets import get_dataset
+
+    params = load_pretrained(pretrained_tcnn_path)
+    ds = get_dataset(cfg, "val")
+    frames = [ds[i] for i in range(2)]
+    min_c, max_c, n_xyz = vx.get_world_range(ds.dimensions, 0.06)
+    bound_min, bound_max = jnp.asarray(min_c), jnp.asarray(max_c)
+
+    pts, nrm, val = [], [], []
+    for f in frames:
+        depth = jnp.asarray(f["depth"], jnp.float32)
+        intr = jnp.asarray(f["intr_mat"], jnp.float32)
+        T_wc = jnp.asarray(f["T_wc"], jnp.float32)
+        xyz = geometry.depth_to_xyz(depth, intr)
+        nw = -geometry.rotate_vectors(
+            T_wc, geometry.normals_from_depth(
+                depth, intr, mask=depth > 0).reshape(-1, 3))
+        pts.append(geometry.transform_points(T_wc, xyz.reshape(-1, 3)))
+        nrm.append(nw)
+        val.append((depth > 0).reshape(-1))
+    pts, nrm, val = jnp.stack(pts), jnp.stack(nrm), jnp.stack(val)
+
+    kw = dict(voxel_size=0.06, min_pts_in_grid=3, max_unique=4096,
+              max_unique_cells=2048, seg_kernel="interpret")
+    t_a = tbl.create_table(8, 65536, n_xyz=n_xyz)
+    t_a, _ = fusion.fuse_frames_merged(
+        t_a, params, pts, nrm, val, bound_min, bound_max, **kw)
+    t_b = tbl.create_table(8, 65536, n_xyz=n_xyz)
+    t_b, _ = fusion.fuse_frames_merged(
+        t_b, params, pts, nrm, val, bound_min, bound_max,
+        sort_bf16=True, **kw)
+
+    k1, f1, w1, _, _ = tbl.active_entries(t_a)
+    k2, f2, w2, _, _ = tbl.active_entries(t_b)
+    o1, o2 = np.lexsort(k1.T), np.lexsort(k2.T)
+    np.testing.assert_array_equal(k1[o1], k2[o2])
+    np.testing.assert_array_equal(w1[o1], w2[o2])  # counts ride exact int32
+    # features quantized to bf16 per-cell partials: ~1% worst case
+    np.testing.assert_allclose(f1[o1], f2[o2], atol=0.02, rtol=0.02)
