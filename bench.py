@@ -39,7 +39,7 @@ def main():
 
     # the reference's lounge operating point (run_inference.py voxel 0.01);
     # table/compaction widths are the repo defaults for this op point
-    cfg = load_config([
+    overrides = [
         "model.voxel_size=0.01",
         "dataset.num_images=48",
         "dataset.img_res=[480,640]",
@@ -47,7 +47,11 @@ def main():
         # device (the reference's datasets are uint16 PNG; transferring f32
         # through the tunnel would quadruple the staging traffic)
         "dataset.stage_raw_depth=true",
-    ])
+    ]
+    # A/B experiments: extra space-separated overrides via env (does not
+    # change the canonical operating point when unset)
+    extra = os.environ.get("BNV_BENCH_OVERRIDES", "").split()
+    cfg = load_config(overrides + extra)
     ckpt = "/root/reference/pretrained/pointnet_tcnn.ckpt"
     if os.path.exists(ckpt):
         params = load_pretrained(ckpt)

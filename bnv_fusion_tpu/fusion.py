@@ -358,33 +358,12 @@ def _cellsort_reduce(params, pts_w, normals, valid, bound_min, bound_max,
     n_valid_pts)."""
     n = pts_w.shape[0]
     u_cell = min(max_unique_cells if max_unique_cells else max_unique, n)
-
-    inside = jnp.all((pts_w > bound_min + voxel_size) &
-                     (pts_w < bound_max - voxel_size), axis=-1) & valid
-    coords = voxel.position_to_coords(pts_w, bound_min, voxel_size)  # [N,3]
-    fl = jnp.floor(coords)
-    mi = (jnp.ceil(coords) > fl).astype(jnp.int32)   # per-axis ceil!=floor
-    fi = fl.astype(jnp.int32)
-    # all 8 corners in-grid: implied by the bound mask (coords land in
-    # [1, n_xyz-1)); kept explicit for parity with the per-corner check
-    inside = inside & jnp.all(fi >= 0, axis=-1) & \
-        jnp.all(fi + mi < n_xyz, axis=-1)
     s0 = n_xyz[1] * n_xyz[2]
     s1 = n_xyz[2]
-    cell = fi[:, 0] * s0 + fi[:, 1] * s1 + fi[:, 2]
-    mcode = mi[:, 0] * 4 + mi[:, 1] * 2 + mi[:, 2]
-    cell = jnp.where(inside, cell, n_vox)     # invalid entries sort last
-    mcode = jnp.where(inside, mcode, 8)
-    # zero invalid payloads: NaN depth must not ride into the encoder/scans
-    coords_z = jnp.where(inside[:, None], coords, 0.0)
-    normals_z = jnp.where(inside[:, None], normals, 0.0)
 
-    ops = jax.lax.sort(
-        (cell, mcode, coords_z[:, 0], coords_z[:, 1], coords_z[:, 2],
-         normals_z[:, 0], normals_z[:, 1], normals_z[:, 2]), num_keys=2)
-    cell_s, mcode_s = ops[0], ops[1]
-    coords_s = jnp.stack(ops[2:5], axis=-1)
-    normals_s = jnp.stack(ops[5:8], axis=-1)
+    cell_s, mcode_s, coords_s, normals_s, n_inside = _cellsort_sort1(
+        pts_w, normals, valid, bound_min, bound_max, voxel_size, n_xyz,
+        n_vox)
     entry_valid = cell_s < n_vox
 
     corners_s = voxel.corner_neighbors(coords_s)       # [N,8,3]
@@ -466,7 +445,7 @@ def _cellsort_reduce(params, pts_w, normals, valid, bound_min, bound_max,
     sum_u = cum2[end2] - flo + mean2 * seg_n[:, None]
 
     return (flat_u, cnt_u, sum_u, umask, n_unique, u, cells_dropped,
-            jnp.sum(inside.astype(jnp.float32)))
+            n_inside)
 
 
 def _cellsort_sort1(pts_w, normals, valid, bound_min, bound_max, voxel_size,

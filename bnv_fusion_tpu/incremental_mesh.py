@@ -117,12 +117,19 @@ class IncrementalMesher:
         # include the 1-voxel neighborhood: a changed latent affects decodes
         # of any cell within one voxel
         if len(work):
+            from bnv_fusion_tpu.mesh import coord_key3, coord_unkey3
+
             grown = (work[:, None, :] + _NEIGHBOR_OFFSETS[None]).reshape(-1, 3)
-            # only re-mesh blocks of voxels that are active+eligible
-            key_all = {tuple(c) for c in active_coords[eligible]}
-            grown = np.unique(grown, axis=0)
-            grown = np.array([c for c in grown if tuple(c) in key_all],
-                             np.int64)
+            # only re-mesh blocks of voxels that are active+eligible —
+            # key-based membership (a python set of tuples over the whole
+            # map costs seconds at 500k voxels)
+            gk = np.unique(coord_key3(grown))
+            ak = np.sort(coord_key3(active_coords[eligible]))
+            if len(ak) == 0:
+                grown = np.zeros((0, 3), np.int64)
+            else:
+                pos = np.clip(np.searchsorted(ak, gk), 0, len(ak) - 1)
+                grown = coord_unkey3(gk[ak[pos] == gk])
         else:
             grown = work.astype(np.int64)
         if len(grown) == 0:
@@ -130,13 +137,18 @@ class IncrementalMesher:
 
         points, corner_idx, cells = build_sample_lattice(grown.astype(np.int32))
         coords = points.astype(np.float32) / 2.0
-        sdf = np.empty((len(points),), np.float32)
+        # dispatch all batches before fetching (per-batch np.asarray would
+        # serialize the dispatch pipeline; see mesh.extract_mesh)
         bs = self.batch_size
+        pending = []
         for s in range(0, len(points), bs):
             e = min(s + bs, len(points))
             batch = np.zeros((bs, 3), np.float32)
             batch[: e - s] = coords[s:e]
-            sdf[s:e] = np.asarray(decode_fn(jnp.asarray(batch)))[: e - s]
+            pending.append((s, e, decode_fn(jnp.asarray(batch))))
+        sdf = np.empty((len(points),), np.float32)
+        for s, e, out in pending:
+            sdf[s:e] = np.asarray(out)[: e - s]
 
         cell_sdf = sdf[corner_idx]
         # same observed-crossing rule as mesh.extract_mesh(mask_sentinel=True)

@@ -210,6 +210,27 @@ def merge_vertices(mesh: Mesh, tol: float) -> Mesh:
 # Sparse-volume meshing driver
 # ---------------------------------------------------------------------------
 
+def coord_key3(a: np.ndarray) -> np.ndarray:
+    """[N, 3] integer coords -> lexicographic-order scalar int64 keys.
+
+    Dedup/membership via 1-D keys: np.unique(axis=0) views rows as a
+    structured dtype and sorts ~10x slower — on a 500k-voxel map the mesh
+    lattice has ~13M candidate points and the row-unique dominated
+    extraction (measured; RESULTS.md round 3).  Coordinates are bounded
+    well below +-2**20 voxels per axis."""
+    a = np.asarray(a, np.int64)
+    return (a[:, 0] + (1 << 20)) * (1 << 42) + \
+        (a[:, 1] + (1 << 20)) * (1 << 21) + (a[:, 2] + (1 << 20))
+
+
+def coord_unkey3(k: np.ndarray) -> np.ndarray:
+    out = np.empty((len(k), 3), np.int64)
+    out[:, 0] = (k >> 42) - (1 << 20)
+    out[:, 1] = ((k >> 21) & ((1 << 21) - 1)) - (1 << 20)
+    out[:, 2] = (k & ((1 << 21) - 1)) - (1 << 20)
+    return out
+
+
 def build_sample_lattice(active_coords: np.ndarray, scale: int = 2):
     """Active voxel coords -> dedup sub-voxel lattice sample points + cells.
 
@@ -221,39 +242,52 @@ def build_sample_lattice(active_coords: np.ndarray, scale: int = 2):
     Returns (points_lattice [P, 3] int64 in units of voxel/scale,
     cell_corner_index [M, 8] int32 into points, cell_origins [M, 3] int64).
     """
+    # coord_key3 is LINEAR in the coordinates, so neighbour keys are base
+    # key + a constant delta — the whole lattice builds from [N] int64 key
+    # arithmetic without ever materializing [N, 27, 3] coordinate tensors
+    # (the naive form spent seconds in astype/broadcast allocations and
+    # dominated mesh extraction; RESULTS.md round 3)
     half = scale // 2
+    base = coord_key3(active_coords.astype(np.int64) * scale)     # [N]
+
+    def off_key(off):
+        o = np.asarray(off, np.int64)
+        return (o[..., 0] * (1 << 42) + o[..., 1] * (1 << 21) + o[..., 2])
+
+    def sort_unique(k):
+        # np.unique measured ~20x a plain np.sort at these sizes
+        k = np.sort(k)
+        if len(k) == 0:
+            return k
+        keep = np.empty(len(k), bool)
+        keep[0] = True
+        np.not_equal(k[1:], k[:-1], out=keep[1:])
+        return k[keep]
+
     offs = np.arange(-half, half + 1, dtype=np.int64)
     grid = np.stack(np.meshgrid(offs, offs, offs, indexing="ij"),
                     axis=-1).reshape(-1, 3)
-    pts = (active_coords[:, None, :].astype(np.int64) * scale +
-           grid[None, :, :]).reshape(-1, 3)
-    points, inv = np.unique(pts, axis=0, return_inverse=True)
+    sorted_keys = sort_unique(
+        (base[:, None] + off_key(grid)[None, :]).ravel())
+    points = coord_unkey3(sorted_keys)
 
     cell_offs = np.arange(-half, half, dtype=np.int64)
     cgrid = np.stack(np.meshgrid(cell_offs, cell_offs, cell_offs,
                                  indexing="ij"), axis=-1).reshape(-1, 3)
-    cells = (active_coords[:, None, :].astype(np.int64) * scale +
-             cgrid[None, :, :]).reshape(-1, 3)
-    cells = np.unique(cells, axis=0)
+    cell_keys = sort_unique(
+        (base[:, None] + off_key(cgrid)[None, :]).ravel())
 
-    # index each cell corner into the unique point list via structured search
-    def keyify(a):
-        # coordinates are bounded well below 2**20 voxels
-        return (a[:, 0] + (1 << 20)) * (1 << 42) + \
-               (a[:, 1] + (1 << 20)) * (1 << 21) + (a[:, 2] + (1 << 20))
-
-    point_keys = keyify(points)
-    order = np.argsort(point_keys)
-    sorted_keys = point_keys[order]
-    corner_idx = np.empty((len(cells), 8), np.int64)
-    for ci, (dx, dy, dz) in enumerate(_CUBE_CORNERS):
-        ck = keyify(cells + np.array([dx, dy, dz]))
+    corner_idx = np.empty((len(cell_keys), 8), np.int64)
+    hit_all = np.ones((len(cell_keys),), bool)
+    for ci, corner in enumerate(_CUBE_CORNERS):
+        ck = cell_keys + off_key(np.asarray(corner))
         pos = np.searchsorted(sorted_keys, ck)
         pos = np.clip(pos, 0, len(sorted_keys) - 1)
         hit = sorted_keys[pos] == ck
-        corner_idx[:, ci] = np.where(hit, order[pos], -1)
-    keep = (corner_idx >= 0).all(axis=1)
-    return points, corner_idx[keep].astype(np.int64), cells[keep]
+        hit_all &= hit
+        corner_idx[:, ci] = pos
+    cells = coord_unkey3(cell_keys[hit_all])
+    return points, corner_idx[hit_all], cells
 
 
 def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
@@ -274,17 +308,49 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
     """
     if len(active_coords) == 0:
         return None
-    points, corner_idx, cells = build_sample_lattice(active_coords,
-                                                     lattice_scale)
+    import os as _os
+    import time as _time
+    prof = _os.environ.get("BNV_MESH_PROFILE") in ("1", "2")
+    t0 = _time.time()
+    if _os.environ.get("BNV_MESH_PROFILE") == "2":
+        import cProfile
+        import pstats
+        import io as _io
+        _pr = cProfile.Profile()
+        _pr.enable()
+        points, corner_idx, cells = build_sample_lattice(active_coords,
+                                                         lattice_scale)
+        _pr.disable()
+        _s = _io.StringIO()
+        pstats.Stats(_pr, stream=_s).sort_stats("tottime").print_stats(8)
+        print(_s.getvalue()[:1500], flush=True)
+    else:
+        points, corner_idx, cells = build_sample_lattice(active_coords,
+                                                         lattice_scale)
+    if prof:
+        print(f"[mesh] lattice {len(active_coords)} voxels -> "
+              f"{len(points)} pts, {len(cells)} cells: "
+              f"{_time.time()-t0:.2f}s", flush=True)
+        t0 = _time.time()
     coords = points.astype(np.float32) / lattice_scale
 
-    sdf = np.empty((len(points),), np.float32)
+    # dispatch ALL decode batches before fetching any result: a per-batch
+    # np.asarray would synchronize the (tunneled) dispatch pipeline once
+    # per launch — the same serialization measured at 12 ms/frame for
+    # per-launch stats fetches (CLAUDE.md)
+    pending = []
     for s in range(0, len(points), batch_size):
         e = min(s + batch_size, len(points))
         batch = np.zeros((batch_size, 3), np.float32)
         batch[: e - s] = coords[s:e]
-        out = np.asarray(decode_fn(jnp.asarray(batch)))
-        sdf[s:e] = out[: e - s]
+        pending.append((s, e, decode_fn(jnp.asarray(batch))))
+    sdf = np.empty((len(points),), np.float32)
+    for s, e, out in pending:
+        sdf[s:e] = np.asarray(out)[: e - s]
+    if prof:
+        print(f"[mesh] decode {len(pending)} batches: "
+              f"{_time.time()-t0:.2f}s", flush=True)
+        t0 = _time.time()
 
     cell_sdf = sdf[corner_idx]                                  # [M, 8]
     if mask_sentinel:
@@ -310,6 +376,10 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
             cells[crossing], cell_sdf[crossing], weld_tol=lattice_tol)
         if out is not None:
             verts, faces = out
+            if prof:
+                print(f"[mesh] native MC {int(crossing.sum())} cells -> "
+                      f"{len(verts)} verts: {_time.time()-t0:.2f}s",
+                      flush=True)
             if len(verts) == 0:
                 return None
             verts = verts / lattice_scale * voxel_size + np.asarray(min_coords)

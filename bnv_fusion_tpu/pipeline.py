@@ -671,11 +671,20 @@ class NeuralMap:
 
     def extract_mesh(self, use_delta: bool = True,
                      batch_size: int = 1 << 18) -> Optional[mesh_mod.Mesh]:
+        prof = os.environ.get("BNV_MESH_PROFILE") in ("1", "2")
+        t0 = time.time()
         self._decode_jit = self._decode_for(use_delta)
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
+        if prof:
+            print(f"[mesh] decode-jit+delta: {time.time()-t0:.2f}s",
+                  flush=True)
+            t0 = time.time()
         keys, feats, weights, hits, _ = tbl.active_entries(self.table)
+        if prof:
+            print(f"[mesh] active_entries ({len(keys)}): "
+                  f"{time.time()-t0:.2f}s", flush=True)
         # only voxels that have accumulated real fusion weight carry surface
         gate = weights >= self.min_pts_in_grid
         if bool(getattr(self.config.model, "mesh_require_observation", False)):

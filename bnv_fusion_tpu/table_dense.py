@@ -29,10 +29,13 @@ from flax import struct
 
 
 class DenseIndexedTable(struct.PyTreeNode):
-    # NOTE: per-slot coords are NOT stored — they are recoverable from the
-    # slot map (host-side inversion at export time), which removes a
-    # per-frame O(max_unique) scatter from the fuse hot path.
+    # slot_flat stores each slot's voxel flat id (-1 = unallocated): one
+    # extra unique-index scatter per insert, which saves export-time
+    # consumers (mesh extraction, save) from fetching + inverting the
+    # ENTIRE slot map on host — 344 MB through the tunnel at lounge scale,
+    # measured ~10 s per extract_mesh in round 3.
     slot_map: jnp.ndarray   # [n_voxels] int32, -1 = unallocated
+    slot_flat: jnp.ndarray  # [capacity] int32 voxel flat id per slot, -1
     features: jnp.ndarray   # [capacity, F] float32
     weights: jnp.ndarray    # [capacity] float32
     num_hits: jnp.ndarray   # [capacity] float32
@@ -59,6 +62,7 @@ def create_dense_table(n_xyz, capacity: int, feat_dims: int
             "int32 — use the open-addressing SparseVoxelTable instead")
     return DenseIndexedTable(
         slot_map=jnp.full((n_vox,), -1, jnp.int32),
+        slot_flat=jnp.full((capacity,), -1, jnp.int32),
         features=jnp.zeros((capacity, feat_dims), jnp.float32),
         weights=jnp.zeros((capacity,), jnp.float32),
         num_hits=jnp.zeros((capacity,), jnp.float32),
@@ -121,6 +125,8 @@ def insert(table: DenseIndexedTable, new_keys: jnp.ndarray,
     map_idx = jnp.where(fits, flat, n_vox)
     slot_map = table.slot_map.at[map_idx].set(
         jnp.where(fits, assign, 0), mode="drop")
+    slot_flat = table.slot_flat.at[jnp.where(fits, assign, cap)].set(
+        flat_safe, mode="drop", unique_indices=True)
 
     # final slots for every occurrence
     slots = jnp.where(inside, slot_map[flat_safe], -1)
@@ -128,6 +134,7 @@ def insert(table: DenseIndexedTable, new_keys: jnp.ndarray,
 
     table = table.replace(
         slot_map=slot_map,
+        slot_flat=slot_flat,
         n_alloc=jnp.minimum(table.n_alloc + n_new_total, cap),
         overflow=table.overflow + (n_new_total - n_new_fit),
     )
@@ -168,11 +175,14 @@ def insert_unique_flat(table: DenseIndexedTable, flat: jnp.ndarray,
     map_idx = jnp.where(fits, flat_safe, n_vox)
     slot_map = table.slot_map.at[map_idx].set(
         jnp.where(fits, assign, 0), mode="drop", unique_indices=True)
+    slot_flat = table.slot_flat.at[jnp.where(fits, assign, cap)].set(
+        flat_safe, mode="drop", unique_indices=True)
 
     slots = jnp.where(fits, assign, existing)
     ok = slots >= 0
     table = table.replace(
         slot_map=slot_map,
+        slot_flat=slot_flat,
         n_alloc=jnp.minimum(table.n_alloc + n_new_total, cap),
         overflow=table.overflow + (n_new_total - n_new_fit))
     return table, jnp.maximum(slots, 0), ok
@@ -193,20 +203,16 @@ def gather_values(table: DenseIndexedTable, slots: jnp.ndarray,
 def active_entries(table: DenseIndexedTable):
     """Host-side extraction of allocated entries (coords, feats, w, hits, idx).
 
-    Coords are reconstructed by inverting the slot map (cheap host pass over
-    the dense map) and returned in SLOT order, so repeated calls line up.
+    Coords come from the per-slot flat ids (slot order, so repeated calls
+    line up) — no fetch/inversion of the dense slot map.
     """
     n = int(table.n_alloc)
-    slot_map = np.asarray(table.slot_map)
-    flat = np.nonzero(slot_map >= 0)[0]
-    slots = slot_map[flat]
-    order = np.argsort(slots)
-    flat = flat[order]
+    flat = np.asarray(table.slot_flat[:n], np.int64)
     n_xyz = np.asarray(table.n_xyz, np.int64)
     keys = np.stack([flat // (n_xyz[1] * n_xyz[2]),
                      (flat // n_xyz[2]) % n_xyz[1],
                      flat % n_xyz[2]], axis=-1).astype(np.int32)
-    return (keys[:n], np.asarray(table.features[:n]),
+    return (keys, np.asarray(table.features[:n]),
             np.asarray(table.weights[:n]), np.asarray(table.num_hits[:n]),
             np.arange(n))
 

@@ -439,23 +439,26 @@ def integrate_blocks(vol: TSDFVolumeBM, depth: jnp.ndarray,
                * voxel_size + vol.origin + half)
     radius = voxel_size * TSDF_BLOCK * np.sqrt(3.0) / 2.0
     c_cam = centers @ T_cw[:3, :3].T + T_cw[:3, 3]
-    z = c_cam[:, 2]
+    x, y, z = c_cam[:, 0], c_cam[:, 1], c_cam[:, 2]
     zmax = max_depth + trunc
     in_z = (z + radius > 0) & (z - radius < zmax)
-    # pixel-space margin of the bounding sphere at its nearest depth.
-    # For a point offset (dx, dz) inside the sphere, |d(px)| <=
-    # fx (r z + |X| r) / (z (z - r)) = r (fx + |px - cx|) / (z - r):
-    # the obliquity term |px - cx| is REQUIRED — a plain fx r / (z - r)
-    # under-covers edge blocks by up to (1 + |X|/z) and drops updates
-    zn = jnp.maximum(z - radius, 1e-3)
-    safe_z = jnp.where(jnp.abs(z) > 1e-3, z, 1e-3)
-    px = c_cam[:, 0] * fx / safe_z + cx
-    py = c_cam[:, 1] * fy / safe_z + cy
-    mx = (fx + jnp.abs(px - cx)) * radius / zn
-    my = (fy + jnp.abs(py - cy)) * radius / zn
-    in_img = ((px + mx >= -0.5) & (px - mx <= w - 0.5) &
-              (py + my >= -0.5) & (py - my <= h - 0.5)) | (z <= radius)
-    active = in_z & in_img
+    # sphere-vs-frustum-plane tests (classic conservative cull: keep when
+    # the signed center distance to every side plane >= -radius).  A
+    # pixel-margin test instead is unsound off-screen: the obliquity
+    # factor grows with |px|, admitting arbitrarily oblique far blocks
+    # and blowing the static block budget (measured: 205k drops at the
+    # 790M-voxel scene).  Rounded pixel sampling extends the planes by
+    # half a pixel (the -0.5 / dim-0.5 bounds).
+    xlo = (-0.5 - cx) / fx
+    xhi = (w - 0.5 - cx) / fx
+    ylo = (-0.5 - cy) / fy
+    yhi = (h - 0.5 - cy) / fy
+    in_side = (
+        ((x - xlo * z) >= -radius * jnp.sqrt(1.0 + xlo * xlo)) &
+        ((xhi * z - x) >= -radius * jnp.sqrt(1.0 + xhi * xhi)) &
+        ((y - ylo * z) >= -radius * jnp.sqrt(1.0 + ylo * ylo)) &
+        ((yhi * z - y) >= -radius * jnp.sqrt(1.0 + yhi * yhi)))
+    active = in_z & in_side
 
     # compact to max_blocks (ascending id; overflow counted)
     n_active = jnp.sum(active.astype(jnp.int32))

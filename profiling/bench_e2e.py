@@ -53,9 +53,13 @@ def main():
         t0 = time.time()
         for i in range(0, len(frames) - k + 1, k):
             nm.integrate_batch(frames[i:i + k])
+        # block_until_ready does NOT block on the axon backend — drain the
+        # async queue with a scalar fetch so phases attribute honestly
+        _ = np.asarray(nm.table.weights[:1])
         t_local = time.time() - t0
         t1 = time.time()
         nm.optimize(n_iters)
+        _ = np.asarray(nm.table.features[:1, :1])
         t_global = time.time() - t1
         t2 = time.time()
         mesh = nm.extract_mesh(use_delta=True)

@@ -102,6 +102,15 @@ def main():
         elif mode == "take2d":
             flat = depth_ref[...].reshape(1, hw)
             vals = jnp.take_along_axis(flat, ids, axis=1)
+        elif mode == "take2step":
+            # Mosaic: "Only 2D gather is supported" — row gather then
+            # column gather, both rank-2 take_along_axis
+            d2 = depth_ref[...]                       # (2400, 128)
+            rows = jnp.broadcast_to((ids[0] // 128)[:, None],
+                                    (ids.shape[1], 128))
+            picked = jnp.take_along_axis(d2, rows, axis=0)   # (tile, 128)
+            cols = (ids[0] % 128)[:, None]
+            vals = jnp.take_along_axis(picked, cols, axis=1)  # (tile, 1)
         out_ref[0, 0, 0] = jnp.sum(vals)
 
     def vmem(mode):
@@ -127,7 +136,7 @@ def main():
     print(f"n={n} table={h*w}")
     timeit("empty", empty)
     timeit("xla", xla_gather)
-    for mode in ("flat", "take", "take2d"):
+    for mode in ("take2step",):
         timeit(f"vmem {mode}", vmem(mode))
 
 
