@@ -32,17 +32,19 @@ import jax.numpy as jnp
 from flax import struct
 
 MAX_PROBE = 32
-# the unrolled (TPU) probe budget: lax.while_loop probing compiles/runs
-# pathologically on the tunneled TPU runtime (round-1 finding), so on
-# non-CPU backends the probe sweep is a STATIC python unroll.  8 rounds at
-# the <= 0.5 load factors the capacity sizing targets resolve essentially
-# every key; the remainder is dropped + counted in table.overflow exactly
-# like MAX_PROBE exhaustion.
+# the alternative STATIC probe budget (``unroll=True``): a python-unrolled
+# 12-round double-hash sweep with no lax.while_loop.  Round-3 measurement
+# (profiling/probe_hash_table.py, 131k keys into 512k slots on v5e):
+# while_loop insert 97 ms / unrolled 135 ms, lookups ~equal (37-39 ms),
+# and the unrolled insert costs a 343 s compile — so the while_loop stays
+# the default on every backend; the unrolled sweep remains for programs
+# where a dynamic loop pessimizes the surrounding jit (the round-1 fuse
+# hot path symptom, not reproduced in isolation).
 UNROLL_PROBE = 12
 
 
 def _unrolled_default() -> bool:
-    return jax.default_backend() != "cpu"
+    return False
 
 # plain ints: creating jnp scalars at import time would initialize the backend
 _P1 = 0x9E3779B1
