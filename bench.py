@@ -66,7 +66,7 @@ def main():
     # host->device staging (the streaming condition); K frames per launch
     # amortize the tunneled runtime's per-dispatch overhead
     frames = [ds[i] for i in range(len(ds))]
-    k = 8
+    k = int(os.environ.get("BNV_BENCH_K", "8"))
     # only full batches: a ragged remainder would compile a second program
     # inside the timed loop
     batches = [frames[i:i + k] for i in range(0, len(frames) - k + 1, k)]
