@@ -66,7 +66,10 @@ def main():
     # host->device staging (the streaming condition); K frames per launch
     # amortize the tunneled runtime's per-dispatch overhead
     frames = [ds[i] for i in range(len(ds))]
-    k = int(os.environ.get("BNV_BENCH_K", "8"))
+    # K=16 measured fastest with the round-3 seg-reduce kernel (33.9 vs 33.2
+    # fps at K=8; round 2's K=16 loss predates the kernel's batch
+    # amortization); quality re-validated at K=16 (F 0.9929 / 0.9146)
+    k = int(os.environ.get("BNV_BENCH_K", "16"))
     # only full batches: a ragged remainder would compile a second program
     # inside the timed loop
     batches = [frames[i:i + k] for i in range(0, len(frames) - k + 1, k)]

@@ -82,8 +82,9 @@ def create_spatial_table(mesh: Mesh, n_xyz, capacity: int, feat_dims: int,
 
 def _table_specs(axis: str):
     return tbd.DenseIndexedTable(
-        slot_map=P(axis), features=P(axis), weights=P(axis),
-        num_hits=P(axis), n_alloc=P(axis), overflow=P(axis), n_xyz=P())
+        slot_map=P(axis), slot_flat=P(axis), features=P(axis),
+        weights=P(axis), num_hits=P(axis), n_alloc=P(axis),
+        overflow=P(axis), n_xyz=P())
 
 
 def make_spatial_fuse_frame(mesh: Mesh, params: Dict[str, Any],
