@@ -292,6 +292,7 @@ class NeuralMap:
                   else self._tsdf_window_for(frame0))
         max_blocks = self._tsdf_max_blocks(frame0)
         max_depth = self.ray_max_dist
+        tsdf_every = int(getattr(m, "tsdf_every", 1))
 
         # batched Pallas segmented-reduce kernel: a pallas_call costs ~4 ms
         # FIXED on the tunneled TPU runtime, so the kernel only pays when
@@ -321,25 +322,34 @@ class NeuralMap:
             # variant (tsdf.integrate_batch) materializes K dense
             # intermediates and measured slightly SLOWER on v5e (21.4 vs
             # 21.95 fps at K=8); the scan's sequential read-modify-write of
-            # the 6 MB volume wins
+            # the 6 MB volume wins.
+            # model.tsdf_every=e subsamples the prior's temporal cadence
+            # (every e-th frame at obs_weight=e — same total weight); the
+            # depth gather is the update's irreducible cost and scales
+            # directly with cadence
             def tsdf_body(vol, frame):
                 depth, T_wc, intr = frame[0], frame[1], frame[2]
                 rgb = frame[3] if len(frame) > 3 else None
                 if max_blocks is not None:
                     vol = tsdf.integrate_blocks(
                         vol, depth, intr, T_wc, tsdf_vs, max_blocks,
-                        max_depth, rgb=rgb if fuse_color else None)
+                        max_depth, obs_weight=float(tsdf_every),
+                        rgb=rgb if fuse_color else None)
                 elif window is not None:
                     vol = tsdf.integrate_windowed(
                         vol, depth, intr, T_wc, tsdf_vs, window, max_depth,
+                        obs_weight=float(tsdf_every),
                         rgb=rgb if fuse_color else None)
                 else:
                     vol = tsdf.integrate(vol, depth, intr, T_wc, tsdf_vs,
+                                         obs_weight=float(tsdf_every),
                                          rgb=rgb if fuse_color else None)
                 return vol, None
 
             xs = (depths, T_wcs, intrs) if rgbs is None else \
                 (depths, T_wcs, intrs, rgbs)
+            if tsdf_every > 1:
+                xs = jax.tree.map(lambda x: x[::tsdf_every], xs)
             tsdf_vol, _ = jax.lax.scan(tsdf_body, tsdf_vol, xs)
             return table, tsdf_vol, stats
 

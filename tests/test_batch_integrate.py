@@ -193,3 +193,48 @@ def test_merged_fuse_sort_bf16_close_to_f32(pretrained_tcnn_path):
     np.testing.assert_array_equal(w1[o1], w2[o2])  # counts ride exact int32
     # features quantized to bf16 per-cell partials: ~1% worst case
     np.testing.assert_allclose(f1[o1], f2[o2], atol=0.02, rtol=0.02)
+
+
+def test_tsdf_every_subsamples_prior_cadence(pretrained_tcnn_path):
+    """model.tsdf_every=2: the batched launch integrates every 2nd depth
+    into the prior at obs_weight=2 (same total weight); the latent table
+    is unaffected."""
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu import tsdf
+
+    base = [
+        "model.voxel_size=0.06", "model.min_pts_in_grid=3",
+        "dataset.num_images=4", "dataset.img_res=[60,80]",
+        "model.table_capacity=65536",
+    ]
+    from bnv_fusion_tpu.datasets import get_dataset
+
+    params = load_pretrained(pretrained_tcnn_path)
+    cfg1 = load_config(base)
+    cfg2 = load_config(base + ["model.tsdf_every=2"])
+    ds = get_dataset(cfg1, "val")
+    frames = [ds[i] for i in range(4)]
+
+    nm2 = NeuralMap(ds.dimensions, cfg2, params)
+    nm2.integrate_batch(frames)
+
+    # manual expectation: frames 0 and 2 at obs_weight 2
+    nm_ref = NeuralMap(ds.dimensions, cfg1, params)
+    vol = nm_ref.tsdf_vol
+    for i in (0, 2):
+        vol = tsdf.integrate(
+            vol, jnp.asarray(frames[i]["depth"], jnp.float32),
+            jnp.asarray(frames[i]["intr_mat"], jnp.float32),
+            jnp.asarray(frames[i]["T_wc"], jnp.float32),
+            nm_ref.tsdf_voxel_size, obs_weight=2.0)
+    np.testing.assert_allclose(np.asarray(nm2.tsdf_vol.sdf),
+                               np.asarray(vol.sdf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nm2.tsdf_vol.weight),
+                               np.asarray(vol.weight), atol=1e-6)
+
+    # latent fusion identical to the every-frame config
+    nm1 = NeuralMap(ds.dimensions, cfg1, params)
+    nm1.integrate_batch(frames)
+    np.testing.assert_allclose(np.asarray(nm2.table.features),
+                               np.asarray(nm1.table.features), atol=1e-6)
