@@ -47,6 +47,52 @@ class Timer:
         self.times[name] += time.time() - self._start.pop(name)
 
 
+# ---------------------------------------------------------------------------
+# Cross-instance jit memo.  Tracing the fused batch step costs ~3.5 s and the
+# optimize step ~2 s of single-core host time; a fresh NeuralMap per scene
+# (scripts/run_inference.py batches, the e2e bench) re-paid it per instance
+# even though the executables were already in the in-process XLA cache.  The
+# memo shares the traced jit WRAPPERS across instances, keyed by every static
+# the closures bake in (config scalars, frustum window, params identity where
+# captured).  Measured: e2e fresh-pipeline retrace ~6 s -> ~0 (RESULTS.md).
+_JIT_MEMO: Dict[Any, Any] = {}
+
+
+def _memo(key, build):
+    if key not in _JIT_MEMO:
+        _JIT_MEMO[key] = build()
+    return _JIT_MEMO[key]
+
+
+def _params_fingerprint(params) -> tuple:
+    """Identity key for a params pytree whose arrays a closure captures.
+
+    Captured jnp arrays are baked into the traced program as constants, so
+    wrappers may only be shared between instances holding the SAME arrays
+    (same checkpoint load).  The memoized closure keeps the arrays alive,
+    so the ids cannot be recycled while the cache entry exists."""
+    return tuple(id(x) for x in jax.tree_util.tree_leaves(params))
+
+
+def _frame_points(depth, T_wc, intr):
+    """Back-project one raw frame to oriented world points.
+
+    The pretrained encoder's convention (determined empirically on a fused
+    plane): decoded SDF is positive OPPOSITE the input normal.  The
+    pipeline needs SDF positive on the camera side — consistent with the
+    render loss (gt_depth - sample_depth) and the TSDF prior — so the
+    camera-facing normals are negated here.  (The reference carries the
+    same quirk: its dataset notes the normals need a *-1 "due to a bug in
+    data preparation", reference src/datasets/fusion_inference_dataset.py:
+    64-66.)"""
+    xyz_cam = geometry.depth_to_xyz(depth, intr)
+    valid = (depth > 0).reshape(-1)
+    normals_cam = geometry.normals_from_depth(depth, intr, mask=depth > 0)
+    pts_w = geometry.transform_points(T_wc, xyz_cam.reshape(-1, 3))
+    normals_w = -geometry.rotate_vectors(T_wc, normals_cam.reshape(-1, 3))
+    return pts_w, normals_w, valid
+
+
 class NeuralMap:
     def __init__(self, dimensions: np.ndarray, config, params: Dict[str, Any],
                  working_dir: str = ".", capacity: Optional[int] = None):
@@ -195,31 +241,9 @@ class NeuralMap:
 
         fuse_color = self.fuse_color
 
-        def frame_points(depth, T_wc, intr):
-            """Back-project one raw frame to oriented world points.
-
-            The pretrained encoder's convention (determined empirically on
-            a fused plane): decoded SDF is positive OPPOSITE the input
-            normal.  The pipeline needs SDF positive on the camera side —
-            consistent with the render loss (gt_depth - sample_depth) and
-            the TSDF prior — so the camera-facing normals are negated here.
-            (The reference carries the same quirk: its dataset notes the
-            normals need a *-1 "due to a bug in data preparation",
-            reference src/datasets/fusion_inference_dataset.py:64-66.)"""
-            xyz_cam = geometry.depth_to_xyz(depth, intr)
-            valid = (depth > 0).reshape(-1)
-            normals_cam = geometry.normals_from_depth(depth, intr,
-                                                      mask=depth > 0)
-            pts_w = geometry.transform_points(T_wc, xyz_cam.reshape(-1, 3))
-            normals_w = -geometry.rotate_vectors(T_wc,
-                                                 normals_cam.reshape(-1, 3))
-            return pts_w, normals_w, valid
-
-        self._frame_points = frame_points
-
         def body(table, tsdf_vol, params, depth, T_wc, intr,
                  bound_min, bound_max, rgb=None):
-            pts_w, normals_w, valid = frame_points(depth, T_wc, intr)
+            pts_w, normals_w, valid = _frame_points(depth, T_wc, intr)
             table, stats = fusion.fuse_frame(
                 table, params, pts_w, normals_w, valid, bound_min, bound_max,
                 vs, min_pts, compute_dtype=fuse_dtype,
@@ -241,11 +265,40 @@ class NeuralMap:
 
         return body
 
+    def _fuse_statics_key(self, frame0) -> tuple:
+        """Every static the fuse-step closures bake in (memo key part)."""
+        m = self.config.model
+        mu_cells = getattr(m, "max_unique_cells_per_frame", None)
+        mu_batch = getattr(m, "max_unique_per_batch", None)
+        window = (None if getattr(self, "_window_disabled", False)
+                  else self._tsdf_window_for(frame0))
+        return (
+            self.voxel_size, self.min_pts_in_grid,
+            int(getattr(m, "max_unique_per_frame", 1 << 17)),
+            int(mu_cells) if mu_cells else None,
+            int(mu_batch) if mu_batch else None,
+            self.tsdf_voxel_size,
+            str(getattr(m, "fuse_dtype", "float32")),
+            str(getattr(m, "fuse_algorithm", "cell")),
+            self.fuse_color, self.ray_max_dist,
+            window, self._tsdf_max_blocks(frame0),
+            int(getattr(m, "tsdf_every", 1)),
+            str(getattr(m, "use_seg_reduce_kernel", "auto")).lower(),
+            bool(getattr(m, "fuse_sort_bf16", False)),
+            bool(getattr(m, "fuse_batch_merge", True)),
+        )
+
     def _build_fuse_step(self, frame0=None):
-        body = self._fuse_step_body(frame0)
-        return jax.jit(body, donate_argnums=(0, 1))
+        key = ("fuse1",) + self._fuse_statics_key(frame0)
+        return _memo(key, lambda: jax.jit(self._fuse_step_body(frame0),
+                                          donate_argnums=(0, 1)))
 
     def _build_fuse_batch_step(self, k: int, frame0=None):
+        key = ("fuseK", k) + self._fuse_statics_key(frame0)
+        return _memo(key, lambda: self._build_fuse_batch_step_uncached(
+            k, frame0))
+
+    def _build_fuse_batch_step_uncached(self, k: int, frame0=None):
         single = self._fuse_step_body(frame0)
         m = self.config.model
         algorithm = str(getattr(m, "fuse_algorithm", "cell"))
@@ -286,7 +339,6 @@ class NeuralMap:
         tsdf_vs = self.tsdf_voxel_size
         fuse_dtype = jnp.bfloat16 if str(getattr(
             m, "fuse_dtype", "float32")) == "bfloat16" else jnp.float32
-        frame_points = self._frame_points
         fuse_color = self.fuse_color
         window = (None if getattr(self, "_window_disabled", False)
                   else self._tsdf_window_for(frame0))
@@ -309,7 +361,7 @@ class NeuralMap:
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(table, tsdf_vol, params, depths, T_wcs, intrs,
                  bound_min, bound_max, rgbs=None):
-            pts_w, normals_w, valid = jax.vmap(frame_points)(
+            pts_w, normals_w, valid = jax.vmap(_frame_points)(
                 depths, T_wcs, intrs)
             table, stats = fusion.fuse_frames_merged(
                 table, params, pts_w, normals_w, valid, bound_min,
@@ -496,19 +548,26 @@ class NeuralMap:
             self._optim_step = None  # lr is baked into the jitted step
             self._optim_lr = lr
         if self._optim_step is None:
-            self._optim, self._optim_step, self._optim_multi = \
-                optimize.make_optimize_step(
-                    self.params, self.voxel_size, self.min_pts_in_grid,
-                    self.truncated_units, self.truncated_dist,
-                    self.ray_max_dist, n_rays=self.sampling_size,
-                    train_ray_splits=self.train_ray_splits, lr=lr,
-                    neighbor_kernel=int(getattr(self.config.model,
-                                                "neighbor_kernel", 3)),
-                    error_guided=error_guided,
-                    decode_layout=str(getattr(self.config.model,
-                                              "decode_layout", "rows")),
-                    parallel_chunks=bool(getattr(
-                        self.config.model, "parallel_ray_chunks", False)))
+            kwargs = dict(
+                voxel_size=self.voxel_size,
+                min_pts_in_grid=self.min_pts_in_grid,
+                truncated_units=self.truncated_units,
+                truncated_dist=self.truncated_dist,
+                ray_max_dist=self.ray_max_dist, n_rays=self.sampling_size,
+                train_ray_splits=self.train_ray_splits, lr=lr,
+                neighbor_kernel=int(getattr(self.config.model,
+                                            "neighbor_kernel", 3)),
+                error_guided=error_guided,
+                decode_layout=str(getattr(self.config.model,
+                                          "decode_layout", "rows")),
+                parallel_chunks=bool(getattr(
+                    self.config.model, "parallel_ray_chunks", False)))
+            # the step closures capture self.params -> key by identity
+            key = (("optim", _params_fingerprint(self.params))
+                   + tuple(sorted(kwargs.items())))
+            self._optim, self._optim_step, self._optim_multi = _memo(
+                key, lambda: optimize.make_optimize_step(
+                    self.params, **kwargs))
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
@@ -658,18 +717,27 @@ class NeuralMap:
                                   "use_fused_decode_kernel", False)))
 
         layout = str(getattr(self.config.model, "decode_layout", "rows"))
+        # the closure captures params, bound_min and n_xyz as constants
+        key = ("decode", use_delta, use_fused, layout, vs, min_pts,
+               _params_fingerprint(self.params),
+               np.asarray(self.bound_min).tobytes(),
+               np.asarray(self.n_xyz).tobytes())
+        params, bound_min, n_xyz = self.params, self.bound_min, self.n_xyz
 
-        @jax.jit
-        def decode(features, table, sdf_delta, coords):
-            return fusion.decode_points(
-                features, table, self.params, coords,
-                self.bound_min, vs, min_pts,
-                sdf_delta=sdf_delta if use_delta else None,
-                n_xyz=self.n_xyz, is_coords=True,
-                use_fused_kernel=use_fused,
-                masked_fill=float("nan"), layout=layout)
+        def build():
+            @jax.jit
+            def decode(features, table, sdf_delta, coords):
+                return fusion.decode_points(
+                    features, table, params, coords,
+                    bound_min, vs, min_pts,
+                    sdf_delta=sdf_delta if use_delta else None,
+                    n_xyz=n_xyz, is_coords=True,
+                    use_fused_kernel=use_fused,
+                    masked_fill=float("nan"), layout=layout)
 
-        return decode
+            return decode
+
+        return _memo(key, build)
 
     def _decode_for(self, use_delta: bool):
         """Cached jitted decode, keyed by use_delta (it is baked in)."""
