@@ -231,7 +231,8 @@ def coord_unkey3(k: np.ndarray) -> np.ndarray:
     return out
 
 
-def build_sample_lattice(active_coords: np.ndarray, scale: int = 2):
+def build_sample_lattice(active_coords: np.ndarray, scale: int = 2,
+                         use_native: bool = True):
     """Active voxel coords -> dedup sub-voxel lattice sample points + cells.
 
     The reference samples a 3x3x3 grid at half-voxel steps around every active
@@ -239,9 +240,19 @@ def build_sample_lattice(active_coords: np.ndarray, scale: int = 2):
     finer (scale=4 = quarter-voxel steps) over the same +-0.5 voxel block.
     Shared points/cells between neighboring voxels are deduplicated.
 
+    Runs in the native C++ component when available (radix-sort dedup +
+    merge-walk corner lookup; bit-identical output, ~4x the numpy path on
+    the single-core host); the numpy body below is the portable fallback.
+
     Returns (points_lattice [P, 3] int64 in units of voxel/scale,
     cell_corner_index [M, 8] int32 into points, cell_origins [M, 3] int64).
     """
+    if use_native and len(active_coords):
+        from bnv_fusion_tpu import native
+
+        out = native.build_sample_lattice_native(active_coords, scale)
+        if out is not None:
+            return out
     # coord_key3 is LINEAR in the coordinates, so neighbour keys are base
     # key + a constant delta — the whole lattice builds from [N] int64 key
     # arithmetic without ever materializing [N, 27, 3] coordinate tensors
@@ -318,15 +329,15 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
         import io as _io
         _pr = cProfile.Profile()
         _pr.enable()
-        points, corner_idx, cells = build_sample_lattice(active_coords,
-                                                         lattice_scale)
+        points, corner_idx, cells = build_sample_lattice(
+            active_coords, lattice_scale, use_native=use_native)
         _pr.disable()
         _s = _io.StringIO()
         pstats.Stats(_pr, stream=_s).sort_stats("tottime").print_stats(8)
         print(_s.getvalue()[:1500], flush=True)
     else:
-        points, corner_idx, cells = build_sample_lattice(active_coords,
-                                                         lattice_scale)
+        points, corner_idx, cells = build_sample_lattice(
+            active_coords, lattice_scale, use_native=use_native)
     if prof:
         print(f"[mesh] lattice {len(active_coords)} voxels -> "
               f"{len(points)} pts, {len(cells)} cells: "

@@ -43,6 +43,14 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             lib.mesh_ops_num_vertices.restype = ctypes.c_int64
             lib.mesh_ops_get.argtypes = [ctypes.POINTER(ctypes.c_float),
                                          ctypes.POINTER(ctypes.c_int32)]
+            lib.mesh_ops_build_lattice.restype = ctypes.c_int64
+            lib.mesh_ops_build_lattice.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int]
+            lib.mesh_ops_lattice_num_points.restype = ctypes.c_int64
+            lib.mesh_ops_lattice_get.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
             _LIB = lib
         except Exception:
             _BUILD_FAILED = True
@@ -80,3 +88,33 @@ def marching_tetrahedra_native(cell_origins: np.ndarray,
                 faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         lib.mesh_ops_free()
     return verts, faces
+
+
+def build_sample_lattice_native(active_coords: np.ndarray, scale: int = 2):
+    """C++ twin of mesh.build_sample_lattice (bit-identical output order).
+
+    Radix-sorted key dedup + linear merge-walk corner lookup; avoids the
+    numpy path's large broadcast temporaries (page-fault bound on the
+    single-core host — RESULTS.md round 3).  Returns (points [P,3] int64,
+    corner_idx [M,8] int64, cells [M,3] int64) or None when the native
+    library is unavailable.
+    """
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    coords = np.ascontiguousarray(active_coords, np.int64)
+    with _LOCK:
+        m = lib.mesh_ops_build_lattice(
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(coords), int(scale))
+        p = lib.mesh_ops_lattice_num_points()
+        points = np.empty((p, 3), np.int64)
+        corner_idx = np.empty((m, 8), np.int64)
+        cells = np.empty((m, 3), np.int64)
+        if p:
+            lib.mesh_ops_lattice_get(
+                points.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                corner_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        lib.mesh_ops_lattice_free()
+    return points, corner_idx, cells

@@ -12,6 +12,7 @@
 //
 // Build: cc -O3 -march=native -shared -fPIC mesh_ops.cpp -o libmesh_ops.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -142,6 +143,66 @@ struct MeshOut {
 
 MeshOut* g_last = nullptr;
 
+// --- sample-lattice builder state (mesh.build_sample_lattice twin) ------
+struct LatticeOut {
+  std::vector<int64_t> points;      // [P,3] lattice coords
+  std::vector<int64_t> corner_idx;  // [M,8] indices into points
+  std::vector<int64_t> cells;       // [M,3] cell origins
+};
+
+LatticeOut* g_lattice = nullptr;
+
+// Same packing as mesh.coord_key3: lexicographic int64 key with 21-bit
+// fields biased by 2^20.  Key order == numpy's sort order, so outputs are
+// bit-identical to the numpy path.
+inline int64_t lat_key(int64_t x, int64_t y, int64_t z) {
+  return (x + (int64_t(1) << 20)) * (int64_t(1) << 42) +
+         (y + (int64_t(1) << 20)) * (int64_t(1) << 21) +
+         (z + (int64_t(1) << 20));
+}
+// delta form (mesh.off_key): multiplication, not shifts — offsets are signed
+inline int64_t lat_off_key(int64_t x, int64_t y, int64_t z) {
+  return x * (int64_t(1) << 42) + y * (int64_t(1) << 21) + z;
+}
+
+// LSD radix sort on non-negative int64 keys, 4 passes of 16 bits (all
+// lattice keys fit in 63 bits and are positive).  ~2-3x std::sort on the
+// single-core host at the 5M-key scale that dominates mesh extraction.
+void radix_sort64(std::vector<int64_t>& a, std::vector<int64_t>& tmp) {
+  const size_t n = a.size();
+  if (n < (1 << 14)) {  // small arrays: introsort wins
+    std::sort(a.begin(), a.end());
+    return;
+  }
+  tmp.resize(n);
+  int64_t* src = a.data();
+  int64_t* dst = tmp.data();
+  for (int pass = 0; pass < 4; ++pass) {
+    const int shift = pass * 16;
+    // skip passes whose digit is constant (common for the high bits)
+    const int64_t first = (src[0] >> shift) & 0xFFFF;
+    bool constant = true;
+    for (size_t i = 1; i < n; ++i)
+      if (((src[i] >> shift) & 0xFFFF) != first) {
+        constant = false;
+        break;
+      }
+    if (constant) continue;
+    size_t count[65536] = {0};
+    for (size_t i = 0; i < n; ++i) ++count[(src[i] >> shift) & 0xFFFF];
+    size_t pos = 0;
+    for (int d = 0; d < 65536; ++d) {
+      const size_t c = count[d];
+      count[d] = pos;
+      pos += c;
+    }
+    for (size_t i = 0; i < n; ++i)
+      dst[count[(src[i] >> shift) & 0xFFFF]++] = src[i];
+    std::swap(src, dst);
+  }
+  if (src != a.data()) std::memcpy(a.data(), src, n * sizeof(int64_t));
+}
+
 }  // namespace
 
 extern "C" {
@@ -241,6 +302,122 @@ void mesh_ops_get(float* verts_out, int32_t* faces_out) {
 void mesh_ops_free() {
   delete g_last;
   g_last = nullptr;
+}
+
+// Build the dedup sub-voxel sample lattice (mesh.build_sample_lattice
+// twin; reference samples the 3x3x3 half-voxel grid per active corner,
+// src/models/sparse_volume.py:717-731).  coords: [N,3] int64 active voxel
+// coordinates; scale: 2 = half-voxel (reference), 4 = quarter-voxel.
+// Output order is bit-identical to the numpy path (same key sort).
+// Returns M (number of cells); fetch via mesh_ops_lattice_get.
+int64_t mesh_ops_build_lattice(const int64_t* coords, int64_t n, int scale) {
+  delete g_lattice;
+  g_lattice = new LatticeOut();
+  const int half = scale / 2;
+
+  // point offsets: (2*half+1)^3; cell offsets: (2*half)^3
+  std::vector<int64_t> poffs, coffs;
+  for (int x = -half; x <= half; ++x)
+    for (int y = -half; y <= half; ++y)
+      for (int z = -half; z <= half; ++z) poffs.push_back(lat_off_key(x, y, z));
+  for (int x = -half; x < half; ++x)
+    for (int y = -half; y < half; ++y)
+      for (int z = -half; z < half; ++z) coffs.push_back(lat_off_key(x, y, z));
+
+  std::vector<int64_t> base(n);
+  for (int64_t i = 0; i < n; ++i)
+    base[i] = lat_key(coords[i * 3] * scale, coords[i * 3 + 1] * scale,
+                      coords[i * 3 + 2] * scale);
+
+  std::vector<int64_t> tmp;
+  std::vector<int64_t> pts_keys(n * poffs.size());
+  {
+    size_t w = 0;
+    for (int64_t i = 0; i < n; ++i)
+      for (const int64_t off : poffs) pts_keys[w++] = base[i] + off;
+    radix_sort64(pts_keys, tmp);
+    pts_keys.erase(std::unique(pts_keys.begin(), pts_keys.end()),
+                   pts_keys.end());
+  }
+  std::vector<int64_t> cell_keys(n * coffs.size());
+  {
+    size_t w = 0;
+    for (int64_t i = 0; i < n; ++i)
+      for (const int64_t off : coffs) cell_keys[w++] = base[i] + off;
+    radix_sort64(cell_keys, tmp);
+    cell_keys.erase(std::unique(cell_keys.begin(), cell_keys.end()),
+                    cell_keys.end());
+  }
+
+  // corner lookup: cell_keys + corner offset stays sorted, so each corner
+  // is one linear merge-walk over (cells, points) instead of M binary
+  // searches (the numpy path's 8 searchsorted calls)
+  const size_t m_all = cell_keys.size(), p = pts_keys.size();
+  std::vector<int64_t> cidx(m_all * 8);
+  std::vector<uint8_t> hit_all(m_all, 1);
+  for (int c = 0; c < 8; ++c) {
+    const int64_t off = lat_off_key(kCorner[c][0], kCorner[c][1],
+                                    kCorner[c][2]);
+    size_t j = 0;
+    for (size_t i = 0; i < m_all; ++i) {
+      const int64_t want = cell_keys[i] + off;
+      while (j < p && pts_keys[j] < want) ++j;
+      if (j < p && pts_keys[j] == want) {
+        cidx[i * 8 + c] = static_cast<int64_t>(j);
+      } else {
+        hit_all[i] = 0;
+        cidx[i * 8 + c] = 0;
+      }
+    }
+  }
+
+  g_lattice->points.resize(p * 3);
+  for (size_t i = 0; i < p; ++i) {
+    const int64_t k = pts_keys[i];
+    g_lattice->points[i * 3] = (k >> 42) - (int64_t(1) << 20);
+    g_lattice->points[i * 3 + 1] =
+        ((k >> 21) & ((int64_t(1) << 21) - 1)) - (int64_t(1) << 20);
+    g_lattice->points[i * 3 + 2] =
+        (k & ((int64_t(1) << 21) - 1)) - (int64_t(1) << 20);
+  }
+  size_t m = 0;
+  for (size_t i = 0; i < m_all; ++i) m += hit_all[i];
+  g_lattice->corner_idx.resize(m * 8);
+  g_lattice->cells.resize(m * 3);
+  size_t w = 0;
+  for (size_t i = 0; i < m_all; ++i) {
+    if (!hit_all[i]) continue;
+    std::memcpy(g_lattice->corner_idx.data() + w * 8, cidx.data() + i * 8,
+                8 * sizeof(int64_t));
+    const int64_t k = cell_keys[i];
+    g_lattice->cells[w * 3] = (k >> 42) - (int64_t(1) << 20);
+    g_lattice->cells[w * 3 + 1] =
+        ((k >> 21) & ((int64_t(1) << 21) - 1)) - (int64_t(1) << 20);
+    g_lattice->cells[w * 3 + 2] =
+        (k & ((int64_t(1) << 21) - 1)) - (int64_t(1) << 20);
+    ++w;
+  }
+  return static_cast<int64_t>(m);
+}
+
+int64_t mesh_ops_lattice_num_points() {
+  return g_lattice ? static_cast<int64_t>(g_lattice->points.size() / 3) : 0;
+}
+
+void mesh_ops_lattice_get(int64_t* points_out, int64_t* corner_out,
+                          int64_t* cells_out) {
+  if (!g_lattice) return;
+  std::memcpy(points_out, g_lattice->points.data(),
+              g_lattice->points.size() * sizeof(int64_t));
+  std::memcpy(corner_out, g_lattice->corner_idx.data(),
+              g_lattice->corner_idx.size() * sizeof(int64_t));
+  std::memcpy(cells_out, g_lattice->cells.data(),
+              g_lattice->cells.size() * sizeof(int64_t));
+}
+
+void mesh_ops_lattice_free() {
+  delete g_lattice;
+  g_lattice = nullptr;
 }
 
 }  // extern "C"

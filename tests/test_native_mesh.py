@@ -75,3 +75,22 @@ def test_extract_mesh_native_path():
     for out in (out_native, out_numpy):
         r = np.linalg.norm(out.vertices, axis=-1)
         assert abs(r.mean() - 0.5) < 0.005
+
+
+def test_build_sample_lattice_native_parity():
+    """C++ lattice builder is bit-identical to the numpy path (points,
+    corner indices and cells, incl. negative coords and scale 4)."""
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.RandomState(3)
+    coords = np.unique(rng.randint(-40, 40, size=(4000, 3)), axis=0)
+    for scale in (2, 4):
+        p_np, ci_np, c_np = m.build_sample_lattice(coords, scale,
+                                                   use_native=False)
+        p_nt, ci_nt, c_nt = m.build_sample_lattice(coords, scale,
+                                                   use_native=True)
+        assert np.array_equal(p_np, p_nt)
+        assert np.array_equal(ci_np, ci_nt)
+        assert np.array_equal(c_np, c_nt)
