@@ -47,12 +47,14 @@ def main():
         # device (the reference's datasets are uint16 PNG; transferring f32
         # through the tunnel would quadruple the staging traffic)
         "dataset.stage_raw_depth=true",
-        # TSDF prior at half temporal cadence (every 2nd frame, obs_weight=2:
-        # same total weight, subsampled mean).  The prior's depth gather is
-        # the update's irreducible cost; halving cadence took the bench
-        # 33.9 -> 37.1 fps with the quality gate HELD (F 0.9931 @2.5cm /
-        # 0.9179 @1cm vs 0.9929/0.9146 at every-frame cadence)
-        "model.tsdf_every=2",
+        # TSDF prior at quarter temporal cadence (every 4th frame,
+        # obs_weight=4: same total weight, subsampled mean).  The prior's
+        # depth gather is the update's irreducible per-frame cost, so
+        # cadence is the right knob: every=2 took 33.9 -> 37.1 fps and
+        # every=4 -> 39.0, with the quality gate held at BOTH (F @2.5cm /
+        # @1cm: 0.9929/0.9146 every frame, 0.9931/0.9179 at 2,
+        # 0.9931/0.9172 at 4 — the prior is a 0.1-weighted regularizer)
+        "model.tsdf_every=4",
     ]
     # A/B experiments: extra space-separated overrides via env (does not
     # change the canonical operating point when unset)

@@ -571,6 +571,11 @@ class NeuralMap:
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
+        # NOTE: state.features aliases self.table.features, and the first
+        # donated launch DELETES that buffer (the step only reads features
+        # through state; the table arg's features leaf is pruned).  Nothing
+        # may read self.table.features until the replace() at the end of
+        # this method re-points it at the live state buffer.
         state = optimize.init_optim_state(self._optim, self.table)
 
         lo = 0 if last_frame < 0 else max(0, last_frame)
