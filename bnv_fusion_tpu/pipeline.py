@@ -764,7 +764,10 @@ class NeuralMap:
             print(f"[mesh] decode-jit+delta: {time.time()-t0:.2f}s",
                   flush=True)
             t0 = time.time()
-        keys, feats, weights, hits, _ = tbl.active_entries(self.table)
+        # the gate below only needs keys/weights/hits — skip the [n, F]
+        # feature fetch (the dominant tunnel transfer of this step)
+        keys, _, weights, hits, _ = tbl.active_entries(self.table,
+                                                       with_features=False)
         if prof:
             print(f"[mesh] active_entries ({len(keys)}): "
                   f"{time.time()-t0:.2f}s", flush=True)

@@ -250,19 +250,22 @@ def gather_values(table: SparseVoxelTable, slots: jnp.ndarray,
     return f, w, h
 
 
-def active_entries(table: SparseVoxelTable):
+def active_entries(table: SparseVoxelTable, with_features: bool = True):
     """Host-side extraction of occupied entries (coords, feats, weights, hits).
 
     Equivalent to SparseVolume.to_tensor
     (reference src/models/sparse_volume.py:525-559); used at mesh-extraction
-    and save time, where a host hop happens anyway.
+    and save time, where a host hop happens anyway.  ``with_features=False``
+    skips the feature fetch (features=None) for consumers that only gate on
+    keys/weights/hits (mesh extraction).
     """
     import numpy as np
 
     keys = np.asarray(table.keys)
     mask = keys[:, 0] >= 0
     idx = np.nonzero(mask)[0]
-    return (keys[idx], np.asarray(table.features)[idx],
+    feats = np.asarray(table.features)[idx] if with_features else None
+    return (keys[idx], feats,
             np.asarray(table.weights)[idx], np.asarray(table.num_hits)[idx],
             idx)
 

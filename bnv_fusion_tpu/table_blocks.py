@@ -199,9 +199,10 @@ def gather_values(table: BlockIndexedTable, slots: jnp.ndarray,
     return f, w, h
 
 
-def active_entries(table: BlockIndexedTable):
+def active_entries(table: BlockIndexedTable, with_features: bool = True):
     """Host-side extraction of state-carrying entries
-    (coords, feats, weights, hits, slot idx), in slot order."""
+    (coords, feats, weights, hits, slot idx), in slot order.
+    ``with_features=False`` skips the feature fetch (features=None)."""
     block_map = np.asarray(table.block_map)
     bflats = np.nonzero(block_map >= 0)[0]
     bslots = block_map[bflats]
@@ -226,7 +227,8 @@ def active_entries(table: BlockIndexedTable):
     h = np.asarray(table.num_hits)[slots]
     live = (w > 0) | (h > 0)
     slots = slots[live]
-    return (keys[live], np.asarray(table.features)[slots], w[live], h[live],
+    feats = np.asarray(table.features)[slots] if with_features else None
+    return (keys[live], feats, w[live], h[live],
             slots)
 
 

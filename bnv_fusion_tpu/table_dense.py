@@ -200,11 +200,16 @@ def gather_values(table: DenseIndexedTable, slots: jnp.ndarray,
     return f, w, h
 
 
-def active_entries(table: DenseIndexedTable):
+def active_entries(table: DenseIndexedTable, with_features: bool = True):
     """Host-side extraction of allocated entries (coords, feats, w, hits, idx).
 
     Coords come from the per-slot flat ids (slot order, so repeated calls
     line up) — no fetch/inversion of the dense slot map.
+
+    ``with_features=False`` skips the feature fetch (features=None): the
+    mesh-extraction gate only needs keys/weights/hits, and the [n, F]
+    feature block is the dominant tunnel transfer (~7.6 MB at 236k
+    entries on the 48-frame scene).
     """
     n = int(table.n_alloc)
     flat = np.asarray(table.slot_flat[:n], np.int64)
@@ -212,7 +217,8 @@ def active_entries(table: DenseIndexedTable):
     keys = np.stack([flat // (n_xyz[1] * n_xyz[2]),
                      (flat // n_xyz[2]) % n_xyz[1],
                      flat % n_xyz[2]], axis=-1).astype(np.int32)
-    return (keys, np.asarray(table.features[:n]),
+    feats = np.asarray(table.features[:n]) if with_features else None
+    return (keys, feats,
             np.asarray(table.weights[:n]), np.asarray(table.num_hits[:n]),
             np.arange(n))
 

@@ -74,8 +74,8 @@ def occupancy(table: AnyTable):
     return _mod(table).occupancy(table)
 
 
-def active_entries(table: AnyTable):
-    return _mod(table).active_entries(table)
+def active_entries(table: AnyTable, with_features: bool = True):
+    return _mod(table).active_entries(table, with_features=with_features)
 
 
 def insert_unique_flat(table: AnyTable, flat: jnp.ndarray,
