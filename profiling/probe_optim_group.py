@@ -35,12 +35,13 @@ def main():
     from bnv_fusion_tpu.datasets import get_dataset
     from bnv_fusion_tpu.pipeline import NeuralMap
 
+    extra = os.environ.get("BNV_PROBE_OVERRIDES", "").split()
     cfg = load_config([
         "model.voxel_size=0.01",
         "dataset.num_images=48",
         "dataset.img_res=[480,640]",
         "dataset.stage_raw_depth=true",
-    ])
+    ] + extra)
     params = load_pretrained("/root/reference/pretrained/pointnet_tcnn.ckpt")
     ds = get_dataset(cfg, "val")
     frames = [ds[i] for i in range(len(ds))]
