@@ -182,6 +182,11 @@ def test_neural_map_sharded_optimize(rng, params):
         "model.train_ray_splits=64",
         "model.table_capacity=16384",
         "model.min_pts_in_grid=1",
+        # pin the sequential chunk schedule: the ray-DP path ignores
+        # parallel_ray_chunks (it shards chunks across devices), so the
+        # equivalence being tested is against the sequential single-device
+        # trajectory
+        "model.parallel_ray_chunks=false",
     ]
     dims = np.array([2.0, 2.0, 2.0], np.float32)
     frames = []
