@@ -6,6 +6,15 @@ bench.py).  Must run before the first jax import.
 """
 
 import os
+import sys
+
+# tests/axon_guard.py (loaded pre-capture via pyproject addopts) re-execs
+# the interpreter with the axon TPU plugin disabled; by the time this
+# conftest imports, PALLAS_AXON_POOL_IPS is already cleared.  Belt-and-
+# braces for direct invocations that bypass pyproject (e.g. pytest -c): a
+# late re-exec here would lose captured output, so just scrub the env for
+# any subprocesses and force the CPU backend below.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"

@@ -12,8 +12,11 @@ def _params():
     return jax.tree.map(jnp.asarray, bnn.init_model(jax.random.key(0)))
 
 
-BMIN = jnp.asarray(np.array([-1.0, -1, -1], np.float32))
-BMAX = jnp.asarray(np.array([1.0, 1, 1], np.float32))
+# plain numpy (coerced at call time): a module-level jnp.asarray is a
+# device op at pytest COLLECTION time, which aborts the whole run when the
+# axon plugin registers but its tunnel is unreachable
+BMIN = np.array([-1.0, -1, -1], np.float32)
+BMAX = np.array([1.0, 1, 1], np.float32)
 
 
 def _fuse(t, pts, normals, valid, min_pts=1, max_unique=1 << 11):
