@@ -15,7 +15,6 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
-#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -30,6 +29,10 @@ const int kTetEdges[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
 
 // 16-case table filled at init from the same orientation rule as mesh.py
 int g_tet_table[16][2][3];
+// per-case bitmask of the tet edges the triangles reference (lazy interp:
+// cut tets use 3-4 of the 6 edges; computing all 6 wastes ~40% of the
+// interpolation work in the hot loop)
+int g_edges_needed[16];
 bool g_table_ready = false;
 
 void cross3(const double a[3], const double b[3], double out[3]) {
@@ -118,21 +121,133 @@ void build_table() {
       }
     }
   }
+  for (int mask = 0; mask < 16; ++mask) {
+    int need = 0;
+    for (int t = 0; t < 2; ++t)
+      for (int e = 0; e < 3; ++e)
+        if (g_tet_table[mask][t][e] >= 0) need |= 1 << g_tet_table[mask][t][e];
+    g_edges_needed[mask] = need;
+  }
   g_table_ready = true;
 }
 
-struct Key {
-  int64_t a, b, c;
-  bool operator==(const Key& o) const {
-    return a == o.a && b == o.b && c == o.c;
+// Open-addressing weld table (linear probing, power-of-2 capacity).  The
+// previous std::unordered_map paid a node allocation + pointer chase per
+// vertex — the dominant cost of the weld pass at multi-million-vertex
+// scale.  Vertex ids are assigned in first-encounter order either way, so
+// the output is bit-identical to the map-based version.
+struct WeldTable {
+  struct Slot {
+    int64_t a, b, c;
+    int32_t id;  // -1 == empty
+  };
+  std::vector<Slot> slots;
+  size_t mask = 0, count = 0, grow_at = 0;
+  int shift = 63;
+
+  // Fibonacci hashing: the SLOT must come from the high bits of the
+  // product ((h * C) >> shift) — masking the low bits drops every key
+  // bit at or above log2(capacity), which for structured lattice keys
+  // collapses whole coordinate planes into one probe chain.
+  static size_t hash3(int64_t a, int64_t b, int64_t c) {
+    size_t h = static_cast<size_t>(a) * 0x9E3779B97F4A7C15ull;
+    h ^= static_cast<size_t>(b) * 0xC2B2AE3D27D4EB4Full + (h << 6);
+    h ^= static_cast<size_t>(c) * 0x165667B19E3779F9ull + (h << 6);
+    return (h * 0x9E3779B97F4A7C15ull);
+  }
+
+  void init(size_t expected) {
+    size_t cap = 1024;
+    while (cap < expected * 2) cap <<= 1;
+    slots.assign(cap, Slot{0, 0, 0, -1});
+    mask = cap - 1;
+    shift = 64 - __builtin_ctzll(cap);
+    count = 0;
+    grow_at = cap - cap / 4;  // 0.75 load factor
+  }
+
+  void grow() {
+    std::vector<Slot> old;
+    old.swap(slots);
+    slots.assign(old.size() * 2, Slot{0, 0, 0, -1});
+    mask = slots.size() - 1;
+    shift = 64 - __builtin_ctzll(slots.size());
+    grow_at = slots.size() - slots.size() / 4;
+    for (const Slot& s : old) {
+      if (s.id < 0) continue;
+      size_t i = hash3(s.a, s.b, s.c) >> shift;
+      while (slots[i].id >= 0) i = (i + 1) & mask;
+      slots[i] = s;
+    }
+  }
+
+  // Returns existing id, or inserts new_id and returns it.
+  int32_t find_or_insert(int64_t a, int64_t b, int64_t c, int32_t new_id) {
+    size_t i = hash3(a, b, c) >> shift;
+    while (true) {
+      Slot& s = slots[i];
+      if (s.id < 0) {
+        s = Slot{a, b, c, new_id};
+        if (++count >= grow_at) grow();
+        return new_id;
+      }
+      if (s.a == a && s.b == b && s.c == c) return s.id;
+      i = (i + 1) & mask;
+    }
   }
 };
-struct KeyHash {
-  size_t operator()(const Key& k) const {
-    size_t h = static_cast<size_t>(k.a) * 0x9E3779B97F4A7C15ull;
-    h ^= static_cast<size_t>(k.b) * 0xC2B2AE3D27D4EB4Full + (h << 6);
-    h ^= static_cast<size_t>(k.c) * 0x165667B19E3779F9ull + (h << 6);
-    return h;
+
+// Packed variant: the three quantized weld coordinates ride one int64
+// (21-bit biased fields — valid whenever |q| < 2^20, which covers every
+// real lattice at the production weld tolerance of 0.5 lattice units).
+// 16-byte slots halve the probe cache footprint vs the 3-key table; the
+// caller prechecks the coordinate range and falls back otherwise.
+struct WeldTable1 {
+  struct Slot {
+    int64_t key;  // -1 == empty (valid packed keys are non-negative)
+    int32_t id;
+  };
+  std::vector<Slot> slots;
+  size_t mask = 0, count = 0, grow_at = 0;
+  int shift = 63;
+
+  void init(size_t expected) {
+    size_t cap = 1024;
+    while (cap < expected * 2) cap <<= 1;
+    slots.assign(cap, Slot{-1, 0});
+    mask = cap - 1;
+    shift = 64 - __builtin_ctzll(cap);
+    count = 0;
+    grow_at = cap - cap / 4;
+  }
+
+  void grow() {
+    std::vector<Slot> old;
+    old.swap(slots);
+    slots.assign(old.size() * 2, Slot{-1, 0});
+    mask = slots.size() - 1;
+    shift = 64 - __builtin_ctzll(slots.size());
+    grow_at = slots.size() - slots.size() / 4;
+    for (const Slot& s : old) {
+      if (s.key < 0) continue;
+      size_t i = (static_cast<size_t>(s.key) * 0x9E3779B97F4A7C15ull) >> shift;
+      while (slots[i].key >= 0) i = (i + 1) & mask;
+      slots[i] = s;
+    }
+  }
+
+  int32_t find_or_insert(int64_t key, int32_t new_id) {
+    size_t i = (static_cast<size_t>(key) * 0x9E3779B97F4A7C15ull) >> shift;
+    while (true) {
+      Slot& s = slots[i];
+      if (s.key < 0) {
+        s = Slot{key, new_id};
+        if (++count >= grow_at) grow();
+        return new_id;
+      }
+      if (s.key == key) return s.id;
+      i = (i + 1) & mask;
+    }
   }
 };
 
@@ -217,24 +332,41 @@ int64_t mesh_ops_marching_tets(const int64_t* origins, const float* sdf,
   if (!g_table_ready) build_table();
   delete g_last;
   g_last = new MeshOut();
-  std::unordered_map<Key, int32_t, KeyHash> weld;
-  const double inv_tol = weld_tol > 0 ? 1.0 / weld_tol : 0.0;
+  WeldTable weld;
+  WeldTable1 weld1;
+  const bool do_weld = weld_tol > 0;
+  const double inv_tol = do_weld ? 1.0 / weld_tol : 0.0;
+  // packed-key precheck: every vertex lies within [origin-1, origin+2] of
+  // some cell, so bounding the origins bounds the quantized coordinates
+  bool packed = false;
+  if (do_weld) {
+    int64_t lo = 0, hi = 0;
+    for (int64_t i = 0; i < m * 3; ++i) {
+      if (origins[i] < lo) lo = origins[i];
+      if (origins[i] > hi) hi = origins[i];
+    }
+    const double bound = (double(hi < -lo ? -lo : hi) + 2.0) * inv_tol + 1.0;
+    packed = bound < double(int64_t(1) << 20);
+    if (packed)
+      weld1.init(static_cast<size_t>(m) + 1024);
+    else
+      weld.init(static_cast<size_t>(m) + 1024);
+  }
 
   auto emit_vertex = [&](const double p[3]) -> int32_t {
-    if (weld_tol > 0) {
-      const Key k{static_cast<int64_t>(p[0] * inv_tol + (p[0] >= 0 ? .5 : -.5)),
-                  static_cast<int64_t>(p[1] * inv_tol + (p[1] >= 0 ? .5 : -.5)),
-                  static_cast<int64_t>(p[2] * inv_tol + (p[2] >= 0 ? .5 : -.5))};
-      auto it = weld.find(k);
-      if (it != weld.end()) return it->second;
-      const int32_t id = static_cast<int32_t>(g_last->verts.size() / 3);
-      weld.emplace(k, id);
-      g_last->verts.push_back(static_cast<float>(p[0]));
-      g_last->verts.push_back(static_cast<float>(p[1]));
-      g_last->verts.push_back(static_cast<float>(p[2]));
-      return id;
-    }
     const int32_t id = static_cast<int32_t>(g_last->verts.size() / 3);
+    if (do_weld) {
+      const int64_t a =
+          static_cast<int64_t>(p[0] * inv_tol + (p[0] >= 0 ? .5 : -.5));
+      const int64_t b =
+          static_cast<int64_t>(p[1] * inv_tol + (p[1] >= 0 ? .5 : -.5));
+      const int64_t c =
+          static_cast<int64_t>(p[2] * inv_tol + (p[2] >= 0 ? .5 : -.5));
+      const int32_t got =
+          packed ? weld1.find_or_insert(lat_key(a, b, c), id)
+                 : weld.find_or_insert(a, b, c, id);
+      if (got != id) return got;
+    }
     g_last->verts.push_back(static_cast<float>(p[0]));
     g_last->verts.push_back(static_cast<float>(p[1]));
     g_last->verts.push_back(static_cast<float>(p[2]));
@@ -250,26 +382,31 @@ int64_t mesh_ops_marching_tets(const int64_t* origins, const float* sdf,
     }
     if (mn >= 0 || mx <= 0) continue;
     const int64_t* o = origins + ci * 3;
+    // cube corner coordinates, hoisted out of the tet loop
+    double cv[8][3];
+    for (int c = 0; c < 8; ++c)
+      for (int d = 0; d < 3; ++d) cv[c][d] = double(o[d]) + kCorner[c][d];
     for (int t = 0; t < 6; ++t) {
       float ts[4];
-      double tv[4][3];
       int mask = 0;
       for (int v = 0; v < 4; ++v) {
-        const int c = kTets[t][v];
-        ts[v] = s[c];
+        ts[v] = s[kTets[t][v]];
         if (ts[v] < 0) mask |= 1 << v;
-        for (int d = 0; d < 3; ++d) tv[v][d] = double(o[d]) + kCorner[c][d];
       }
       if (mask == 0 || mask == 15) continue;
       double epts[6][3];
+      int need = g_edges_needed[mask];
       for (int e = 0; e < 6; ++e) {
+        if (!((need >> e) & 1)) continue;
         const int a = kTetEdges[e][0], b = kTetEdges[e][1];
         const double denom = double(ts[b]) - double(ts[a]);
         double frac = denom != 0 ? -double(ts[a]) / denom : 0.5;
         if (frac < 0) frac = 0;
         if (frac > 1) frac = 1;
+        const double* va = cv[kTets[t][a]];
+        const double* vb = cv[kTets[t][b]];
         for (int d = 0; d < 3; ++d)
-          epts[e][d] = tv[a][d] + frac * (tv[b][d] - tv[a][d]);
+          epts[e][d] = va[d] + frac * (vb[d] - va[d]);
       }
       for (int tri = 0; tri < 2; ++tri) {
         const int* te = g_tet_table[mask][tri];
@@ -315,14 +452,7 @@ int64_t mesh_ops_build_lattice(const int64_t* coords, int64_t n, int scale) {
   g_lattice = new LatticeOut();
   const int half = scale / 2;
 
-  // point offsets: (2*half+1)^3; cell offsets: (2*half)^3
-  std::vector<int64_t> poffs, coffs;
-  for (int x = -half; x <= half; ++x)
-    for (int y = -half; y <= half; ++y)
-      for (int z = -half; z <= half; ++z) poffs.push_back(lat_off_key(x, y, z));
-  for (int x = -half; x < half; ++x)
-    for (int y = -half; y < half; ++y)
-      for (int z = -half; z < half; ++z) coffs.push_back(lat_off_key(x, y, z));
+  if (half > 7) return -1;  // per-axis merge fan-in bound (scale <= 14)
 
   std::vector<int64_t> base(n);
   for (int64_t i = 0; i < n; ++i)
@@ -330,24 +460,64 @@ int64_t mesh_ops_build_lattice(const int64_t* coords, int64_t n, int scale) {
                       coords[i * 3 + 2] * scale);
 
   std::vector<int64_t> tmp;
-  std::vector<int64_t> pts_keys(n * poffs.size());
-  {
-    size_t w = 0;
-    for (int64_t i = 0; i < n; ++i)
-      for (const int64_t off : poffs) pts_keys[w++] = base[i] + off;
-    radix_sort64(pts_keys, tmp);
-    pts_keys.erase(std::unique(pts_keys.begin(), pts_keys.end()),
-                   pts_keys.end());
+  radix_sort64(base, tmp);
+  base.erase(std::unique(base.begin(), base.end()), base.end());
+
+  // Dilation by separable cascade: base (+) Dz (+) Dy (+) Dx, deduping
+  // after each axis.  Each stage is a k-way merge-walk of k SHIFTED copies
+  // of an already-sorted unique list — linear, cache-sequential, and the
+  // output is the sorted unique dilated set by construction (bit-identical
+  // to the old "materialize 27n keys + radix sort + unique", which at the
+  // 48-frame scene radix-sorted 5.2M keys to keep ~1.3M).
+  auto dilate = [&](std::vector<int64_t>& a, const int64_t* deltas, int k) {
+    std::vector<int64_t> out;
+    out.reserve(a.size() * k);
+    size_t idx[16] = {0};
+    const size_t sz = a.size();
+    int64_t last = INT64_MIN;
+    while (true) {
+      int64_t best = INT64_MAX;
+      int bj = -1;
+      for (int j = 0; j < k; ++j)
+        if (idx[j] < sz) {
+          const int64_t v = a[idx[j]] + deltas[j];
+          if (v < best) {
+            best = v;
+            bj = j;
+          }
+        }
+      if (bj < 0) break;
+      ++idx[bj];
+      if (best != last) {
+        out.push_back(best);
+        last = best;
+      }
+    }
+    a.swap(out);
+  };
+
+  // per-axis shift deltas (ascending key order: axis strides are positive)
+  int64_t dz_p[16], dy_p[16], dx_p[16], dz_c[16], dy_c[16], dx_c[16];
+  int kp = 0, kc = 0;
+  for (int d = -half; d <= half; ++d, ++kp) {
+    dz_p[kp] = lat_off_key(0, 0, d);
+    dy_p[kp] = lat_off_key(0, d, 0);
+    dx_p[kp] = lat_off_key(d, 0, 0);
   }
-  std::vector<int64_t> cell_keys(n * coffs.size());
-  {
-    size_t w = 0;
-    for (int64_t i = 0; i < n; ++i)
-      for (const int64_t off : coffs) cell_keys[w++] = base[i] + off;
-    radix_sort64(cell_keys, tmp);
-    cell_keys.erase(std::unique(cell_keys.begin(), cell_keys.end()),
-                    cell_keys.end());
+  for (int d = -half; d < half; ++d, ++kc) {
+    dz_c[kc] = lat_off_key(0, 0, d);
+    dy_c[kc] = lat_off_key(0, d, 0);
+    dx_c[kc] = lat_off_key(d, 0, 0);
   }
+
+  std::vector<int64_t> pts_keys = base;
+  dilate(pts_keys, dz_p, kp);
+  dilate(pts_keys, dy_p, kp);
+  dilate(pts_keys, dx_p, kp);
+  std::vector<int64_t> cell_keys = base;
+  dilate(cell_keys, dz_c, kc);
+  dilate(cell_keys, dy_c, kc);
+  dilate(cell_keys, dx_c, kc);
 
   // corner lookup: cell_keys + corner offset stays sorted, so each corner
   // is one linear merge-walk over (cells, points) instead of M binary

@@ -94,3 +94,32 @@ def test_build_sample_lattice_native_parity():
         assert np.array_equal(p_np, p_nt)
         assert np.array_equal(ci_np, ci_nt)
         assert np.array_equal(c_np, c_nt)
+
+
+def test_native_weld_packed_vs_unpacked(native_ok):
+    """The packed single-int64 weld table (origins within the 21-bit biased
+    range) and the generic 3-key fallback (forced by a huge coordinate
+    offset) produce identical topology: same counts, and translating the
+    packed result by the offset reproduces the unpacked vertices."""
+    origins, sdf = _sphere_cells()
+    off = 1 << 21                       # beyond the packed-key precheck
+    v_small, f_small = native.marching_tetrahedra_native(origins, sdf, 0.5)
+    v_big, f_big = native.marching_tetrahedra_native(origins + off, sdf, 0.5)
+    assert v_small.shape == v_big.shape
+    assert np.array_equal(f_small, f_big)
+    np.testing.assert_allclose(v_small + off, v_big, rtol=1e-6)
+
+
+def test_native_weld_matches_reference_merge(native_ok):
+    """In-pass weld at tol == the numpy pipeline's merge tolerance yields
+    the same vertex set as numpy marching_tetrahedra + merge_vertices."""
+    origins, sdf = _sphere_cells()
+    tol = 0.5
+    v_nat, f_nat = native.marching_tetrahedra_native(origins, sdf, tol)
+    ref = m.marching_tetrahedra(origins, sdf)
+    merged = m.merge_vertices(m.Mesh(ref.vertices, ref.faces), tol)
+    assert len(v_nat) == len(merged.vertices)
+    # same welded vertex positions as sets (round to kill fp noise)
+    a = {tuple(np.round(v, 4)) for v in v_nat}
+    b = {tuple(np.round(v, 4)) for v in merged.vertices}
+    assert a == b
