@@ -349,7 +349,8 @@ def fuse_frame_cellsort(table, params: Dict[str, Any],
 
 def _cellsort_reduce(params, pts_w, normals, valid, bound_min, bound_max,
                      voxel_size, compute_dtype, max_unique,
-                     max_unique_cells, n_xyz, n_vox, fdim):
+                     max_unique_cells, n_xyz, n_vox, fdim,
+                     sort1_gather: bool = False):
     """Front half of the cell-keyed fusion: one frame's oriented points ->
     per-unique-voxel (flat id, point count, feature sum), padded to the
     static compaction width ``max_unique``.
@@ -363,7 +364,7 @@ def _cellsort_reduce(params, pts_w, normals, valid, bound_min, bound_max,
 
     cell_s, mcode_s, coords_s, normals_s, n_inside = _cellsort_sort1(
         pts_w, normals, valid, bound_min, bound_max, voxel_size, n_xyz,
-        n_vox)
+        n_vox, sort1_gather=sort1_gather)
     entry_valid = cell_s < n_vox
 
     corners_s = voxel.corner_neighbors(coords_s)       # [N,8,3]
@@ -449,8 +450,15 @@ def _cellsort_reduce(params, pts_w, normals, valid, bound_min, bound_max,
 
 
 def _cellsort_sort1(pts_w, normals, valid, bound_min, bound_max, voxel_size,
-                    n_xyz, n_vox):
+                    n_xyz, n_vox, sort1_gather: bool = False):
     """Stage-1 front: bound mask + cell keys + the point sort.
+
+    ``sort1_gather`` sorts (cell, mcode, row index) — 3 operands instead
+    of 8 — then gathers the 6 float payload channels by the sorted index
+    (bit-identical: lax.sort is stable and the gather reproduces the same
+    rows).  Whether the smaller sort + one gather beats carrying the
+    payloads through the sort network is hardware-dependent; the flag
+    exists to measure it (model.fuse_sort1_gather).
 
     Returns (cell_s, mcode_s, coords_s, normals_s, n_valid) — one frame."""
     inside = jnp.all((pts_w > bound_min + voxel_size) &
@@ -469,6 +477,11 @@ def _cellsort_sort1(pts_w, normals, valid, bound_min, bound_max, voxel_size,
     mcode = jnp.where(inside, mcode, 8)
     coords_z = jnp.where(inside[:, None], coords, 0.0)
     normals_z = jnp.where(inside[:, None], normals, 0.0)
+    if sort1_gather:
+        idx = jax.lax.broadcasted_iota(jnp.int32, (cell.shape[0], 1), 0)[:, 0]
+        cell_s, mcode_s, idx_s = jax.lax.sort((cell, mcode, idx), num_keys=2)
+        return (cell_s, mcode_s, coords_z[idx_s], normals_z[idx_s],
+                jnp.sum(inside.astype(jnp.float32)))
     ops = jax.lax.sort(
         (cell, mcode, coords_z[:, 0], coords_z[:, 1], coords_z[:, 2],
          normals_z[:, 0], normals_z[:, 1], normals_z[:, 2]), num_keys=2)
@@ -519,7 +532,8 @@ def _cellsort_reduce_batched(params, pts_w, normals, valid, bound_min,
                              max_unique, max_unique_cells, n_xyz, n_vox,
                              fdim, interpret: bool = False,
                              seg_tile: int = 2048,
-                             sort_bf16: bool = False):
+                             sort_bf16: bool = False,
+                             sort1_gather: bool = False):
     """K-frame batched _cellsort_reduce with the Pallas segmented-reduce
     kernel replacing both cumsum+compaction-sort reductions.
 
@@ -541,7 +555,8 @@ def _cellsort_reduce_batched(params, pts_w, normals, valid, bound_min,
     sent = int(n_vox)
 
     cell_s, mcode_s, coords_s, normals_s, n_valid = jax.vmap(
-        _cellsort_sort1, in_axes=(0, 0, 0, None, None, None, None, None))(
+        partial(_cellsort_sort1, sort1_gather=sort1_gather),
+        in_axes=(0, 0, 0, None, None, None, None, None))(
             pts_w, normals, valid, bound_min, bound_max, voxel_size,
             n_xyz, n_vox)
     entry_valid = cell_s < n_vox                        # [K, N]
@@ -637,12 +652,15 @@ def fuse_frames_merged(table, params: Dict[str, Any],
                        max_unique_cells: int | None = None,
                        max_unique_batch: int | None = None,
                        seg_kernel: bool | str = False,
-                       sort_bf16: bool = False):
+                       sort_bf16: bool = False,
+                       sort1_gather: bool = False):
     """Fuse K frames with ONE table update (the batched-launch fast path).
 
     ``seg_kernel`` routes the two segment reductions through the batched
     Pallas kernel (_cellsort_reduce_batched; "interpret" for CPU tests);
-    ``sort_bf16`` packs the stage-2 sort payload as bf16 pairs.
+    ``sort_bf16`` packs the stage-2 sort payload as bf16 pairs;
+    ``sort1_gather`` sorts stage 1 by (cell, mcode, index) and gathers the
+    float payloads (bit-identical; a measurement knob).
 
     The per-frame running mean (reference local_point_fusion.py:647-673) is
     associative: folding frames i..j into old state equals one update with
@@ -667,12 +685,13 @@ def fuse_frames_merged(table, params: Dict[str, Any],
             params, pts_w, normals, valid, bound_min, bound_max,
             voxel_size, compute_dtype, max_unique, max_unique_cells,
             n_xyz, n_vox, fdim, interpret=(seg_kernel == "interpret"),
-            sort_bf16=sort_bf16)
+            sort_bf16=sort_bf16, sort1_gather=sort1_gather)
     else:
         def reduce_one(p, nr, v):
             return _cellsort_reduce(params, p, nr, v, bound_min, bound_max,
                                     voxel_size, compute_dtype, max_unique,
-                                    max_unique_cells, n_xyz, n_vox, fdim)
+                                    max_unique_cells, n_xyz, n_vox, fdim,
+                                    sort1_gather=sort1_gather)
 
         (flat_u, cnt_u, sum_u, umask, n_unique, _, cells_dropped,
          n_valid) = jax.vmap(reduce_one)(pts_w, normals, valid)  # [K, U, ..]

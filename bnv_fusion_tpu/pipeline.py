@@ -285,6 +285,7 @@ class NeuralMap:
             int(getattr(m, "tsdf_every", 1)),
             str(getattr(m, "use_seg_reduce_kernel", "auto")).lower(),
             bool(getattr(m, "fuse_sort_bf16", False)),
+            bool(getattr(m, "fuse_sort1_gather", False)),
             bool(getattr(m, "fuse_batch_merge", True)),
         )
 
@@ -368,7 +369,8 @@ class NeuralMap:
                 bound_max, vs, min_pts, compute_dtype=fuse_dtype,
                 max_unique=max_unique, max_unique_cells=mu_cells,
                 max_unique_batch=mu_batch, seg_kernel=seg_kernel,
-                sort_bf16=bool(getattr(m, "fuse_sort_bf16", False)))
+                sort_bf16=bool(getattr(m, "fuse_sort_bf16", False)),
+                sort1_gather=bool(getattr(m, "fuse_sort1_gather", False)))
 
             # TSDF prior stays a per-frame scan: the vmapped single-pass
             # variant (tsdf.integrate_batch) materializes K dense

@@ -238,3 +238,73 @@ def test_tsdf_every_subsamples_prior_cadence(pretrained_tcnn_path):
     nm1.integrate_batch(frames)
     np.testing.assert_allclose(np.asarray(nm2.table.features),
                                np.asarray(nm1.table.features), atol=1e-6)
+
+
+def test_merged_fuse_sort1_gather_bit_identical(pretrained_tcnn_path):
+    """model.fuse_sort1_gather (sort stage 1 by (cell, mcode, index), then
+    gather the float payloads) is BIT-identical to the 8-operand sort:
+    lax.sort is stable and the gather reproduces the same rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu import fusion, geometry
+    from bnv_fusion_tpu import voxel as vx
+
+    cfg = load_config([
+        "model.voxel_size=0.06", "model.min_pts_in_grid=3",
+        "dataset.num_images=2", "dataset.img_res=[60,80]",
+        "model.table_capacity=65536",
+    ])
+    from bnv_fusion_tpu.datasets import get_dataset
+
+    params = load_pretrained(pretrained_tcnn_path)
+    ds = get_dataset(cfg, "val")
+    frames = [ds[i] for i in range(2)]
+    min_c, max_c, n_xyz = vx.get_world_range(ds.dimensions, 0.06)
+    bound_min, bound_max = jnp.asarray(min_c), jnp.asarray(max_c)
+
+    pts, nrm, val = [], [], []
+    for f in frames:
+        depth = jnp.asarray(f["depth"], jnp.float32)
+        intr = jnp.asarray(f["intr_mat"], jnp.float32)
+        T_wc = jnp.asarray(f["T_wc"], jnp.float32)
+        xyz = geometry.depth_to_xyz(depth, intr)
+        nw = -geometry.rotate_vectors(
+            T_wc, geometry.normals_from_depth(
+                depth, intr, mask=depth > 0).reshape(-1, 3))
+        pts.append(geometry.transform_points(T_wc, xyz.reshape(-1, 3)))
+        nrm.append(nw)
+        val.append((depth > 0).reshape(-1))
+    pts, nrm, val = jnp.stack(pts), jnp.stack(nrm), jnp.stack(val)
+
+    kw = dict(voxel_size=0.06, min_pts_in_grid=3, max_unique=4096,
+              max_unique_cells=2048)
+    t_a = tbl.create_table(8, 65536, n_xyz=n_xyz)
+    t_a, _ = fusion.fuse_frames_merged(
+        t_a, params, pts, nrm, val, bound_min, bound_max, **kw)
+    t_b = tbl.create_table(8, 65536, n_xyz=n_xyz)
+    t_b, _ = fusion.fuse_frames_merged(
+        t_b, params, pts, nrm, val, bound_min, bound_max,
+        sort1_gather=True, **kw)
+    np.testing.assert_array_equal(np.asarray(t_a.features),
+                                  np.asarray(t_b.features))
+    np.testing.assert_array_equal(np.asarray(t_a.weights),
+                                  np.asarray(t_b.weights))
+    np.testing.assert_array_equal(np.asarray(t_a.num_hits),
+                                  np.asarray(t_b.num_hits))
+
+    # degenerate (lattice-aligned) points exercise the mcode tiebreak: the
+    # stage-1 front itself must match bitwise, including duplicates
+    rng = np.random.RandomState(0)
+    p = rng.uniform(-0.9, 0.9, size=(512, 3)).astype(np.float32)
+    p[::3] = np.round(p[::3] / 0.06) * 0.06       # exact plane hits
+    nr = rng.normal(size=(512, 3)).astype(np.float32)
+    nr /= np.linalg.norm(nr, axis=1, keepdims=True)
+    v = np.ones(512, bool)
+    args = (jnp.asarray(p), jnp.asarray(nr), jnp.asarray(v),
+            jnp.asarray([-1.0, -1, -1]), jnp.asarray([1.0, 1, 1]), 0.06,
+            jnp.asarray([34, 34, 34]), 34 * 34 * 34)
+    a = fusion._cellsort_sort1(*args)
+    b = fusion._cellsort_sort1(*args, sort1_gather=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
