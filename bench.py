@@ -23,6 +23,23 @@ import numpy as np
 
 
 def main():
+    # Fail fast (not hang) when the TPU tunnel is unreachable: an in-process
+    # jax.devices() blocks forever in that state (the axon client retries
+    # indefinitely), which would wedge the driver.  Probe in a subprocess
+    # with a generous timeout first.
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=300)
+        n_dev = int(probe.stdout.strip().splitlines()[-1])
+    except Exception:
+        n_dev = 0
+    if n_dev < 1:
+        print("bench: TPU backend unreachable (device probe timed out) — "
+              "cannot measure", file=sys.stderr)
+        return 1
+
     import jax
 
     # first compile over the axon tunnel is ~2-3 min (remote compile); the
