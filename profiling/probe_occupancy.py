@@ -8,6 +8,17 @@ bench settings, the TRUE group/voxel counts (pure numpy on the dataset —
 occupancy is a property of the data, so no TPU needed), plus the safe
 width recommendation.
 
+WARNING (measured, round 3): this probe computes coords in numpy FLOAT64
+and UNDERCOUNTS the device's f32 semantics by ~25% at the bench operating
+point — scene surfaces that land exactly on grid planes (the ground slab)
+get `ceil(c) > floor(c)` under f32 rounding but not f64, which adds a
+whole extra corner layer (~25k voxels/frame).  Real per-frame unique is
+109834 max, not 80117; sizing max_unique_per_frame from this probe's
+numbers truncates ~15k REAL voxels per frame.  Use
+profiling/probe_seg_count.py (measures on-device, f32, and cross-checks
+the seg_reduce kernel's counts) for width sizing; keep this probe for the
+cheap no-TPU approximation only.
+
 Usage: python profiling/probe_occupancy.py [voxel_size] [n_frames]
 """
 
@@ -44,6 +55,7 @@ def main():
 
     g_max = u_max = 0
     gs, us = [], []
+    frame_keys = []   # per-frame unique corner-voxel key sets (batch stats)
     for i in range(len(ds)):
         f = ds[i]
         depth = np.asarray(f["depth"], np.float32)
@@ -68,6 +80,7 @@ def main():
         ck = (gk // 8)[:, None] + (pat[None] * moff[:, None, :]) @ \
             np.array([s0, s1, 1], np.int64)
         uk = np.unique(ck)
+        frame_keys.append(uk)
         gs.append(len(gk))
         us.append(len(uk))
         g_max = max(g_max, len(gk))
@@ -81,6 +94,18 @@ def main():
         w = 1 << int(np.ceil(np.log2(g_max * head)))
         print(f"  u_cell with {head:.2f}x headroom -> pow2 {w} "
               f"(vs current default 65536: {65536 / w:.2f}x smaller sort2)")
+
+    # cross-frame MERGED unique counts per K-frame batch: this is what
+    # max_unique_per_batch (default 2*max_unique_per_frame) must cover for
+    # the batch merge in fusion.fuse_frames_merged to drop nothing
+    for k in (8, 16, 24):
+        bu = [len(np.unique(np.concatenate(frame_keys[i:i + k])))
+              for i in range(0, len(frame_keys) - k + 1, k)]
+        if bu:
+            print(f"  K={k} batch-merged unique voxels: max {max(bu)}, "
+                  f"mean {np.mean(bu):.0f} (width max_unique_per_batch; "
+                  f"2048-aligned 1.1x fit = "
+                  f"{2048 * int(np.ceil(max(bu) * 1.1 / 2048))})")
 
 
 if __name__ == "__main__":
