@@ -364,6 +364,10 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
         t0 = _time.time()
 
     cell_sdf = sdf[corner_idx]                                  # [M, 8]
+    if prof:
+        print(f"[mesh] corner gather [{corner_idx.shape[0]},8]: "
+              f"{_time.time()-t0:.2f}s", flush=True)
+        t0 = _time.time()
     if mask_sentinel:
         # NaN-marked samples are "no data": they keep the reference's
         # +voxel_size fallback for interpolation, but a cell only meshes if
@@ -379,12 +383,21 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
         crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
     # weld tolerance in lattice units: lattice step = voxel_size / scale
     lattice_tol = merge_tol_factor * lattice_scale
+    if prof:
+        print(f"[mesh] crossing mask ({int(crossing.sum())} of "
+              f"{len(crossing)}): {_time.time()-t0:.2f}s", flush=True)
+        t0 = _time.time()
 
     if use_native:
         from bnv_fusion_tpu import native
 
+        mc_in, mc_sdf = cells[crossing], cell_sdf[crossing]
+        if prof:
+            print(f"[mesh] crossing compaction: {_time.time()-t0:.2f}s",
+                  flush=True)
+            t0 = _time.time()
         out = native.marching_tetrahedra_native(
-            cells[crossing], cell_sdf[crossing], weld_tol=lattice_tol)
+            mc_in, mc_sdf, weld_tol=lattice_tol)
         if out is not None:
             verts, faces = out
             if prof:
