@@ -363,6 +363,29 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
               f"{_time.time()-t0:.2f}s", flush=True)
         t0 = _time.time()
 
+    # weld tolerance in lattice units: lattice step = voxel_size / scale
+    lattice_tol = merge_tol_factor * lattice_scale
+
+    if use_native:
+        from bnv_fusion_tpu import native
+
+        # fused C++ pass: corner gather + observed-crossing gate +
+        # marching tets in one streaming read (replaces the numpy block
+        # below — sdf[corner_idx] gather, NaN mask, crossing compaction)
+        out = native.marching_tetrahedra_indexed_native(
+            cells, corner_idx, sdf, use_sentinel=mask_sentinel,
+            nan_fallback=voxel_size, weld_tol=lattice_tol)
+        if out is not None:
+            verts, faces = out
+            if prof:
+                print(f"[mesh] native indexed MC {len(cells)} cells -> "
+                      f"{len(verts)} verts: {_time.time()-t0:.2f}s",
+                      flush=True)
+            if len(verts) == 0:
+                return None
+            verts = verts / lattice_scale * voxel_size + np.asarray(min_coords)
+            return Mesh(verts.astype(np.float32), faces)
+
     cell_sdf = sdf[corner_idx]                                  # [M, 8]
     if prof:
         print(f"[mesh] corner gather [{corner_idx.shape[0]},8]: "
@@ -381,33 +404,10 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
         cell_sdf = np.where(observed, cell_sdf, voxel_size)
     else:
         crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
-    # weld tolerance in lattice units: lattice step = voxel_size / scale
-    lattice_tol = merge_tol_factor * lattice_scale
     if prof:
         print(f"[mesh] crossing mask ({int(crossing.sum())} of "
               f"{len(crossing)}): {_time.time()-t0:.2f}s", flush=True)
         t0 = _time.time()
-
-    if use_native:
-        from bnv_fusion_tpu import native
-
-        mc_in, mc_sdf = cells[crossing], cell_sdf[crossing]
-        if prof:
-            print(f"[mesh] crossing compaction: {_time.time()-t0:.2f}s",
-                  flush=True)
-            t0 = _time.time()
-        out = native.marching_tetrahedra_native(
-            mc_in, mc_sdf, weld_tol=lattice_tol)
-        if out is not None:
-            verts, faces = out
-            if prof:
-                print(f"[mesh] native MC {int(crossing.sum())} cells -> "
-                      f"{len(verts)} verts: {_time.time()-t0:.2f}s",
-                      flush=True)
-            if len(verts) == 0:
-                return None
-            verts = verts / lattice_scale * voxel_size + np.asarray(min_coords)
-            return Mesh(verts.astype(np.float32), faces)
 
     mesh = marching_tetrahedra(cells[crossing], cell_sdf[crossing])
     if len(mesh.vertices) == 0:

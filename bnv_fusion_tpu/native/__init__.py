@@ -40,6 +40,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int64, ctypes.c_double]
+            lib.mesh_ops_marching_tets_indexed.restype = ctypes.c_int64
+            lib.mesh_ops_marching_tets_indexed.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int, ctypes.c_float,
+                ctypes.c_double]
             lib.mesh_ops_num_vertices.restype = ctypes.c_int64
             lib.mesh_ops_get.argtypes = [ctypes.POINTER(ctypes.c_float),
                                          ctypes.POINTER(ctypes.c_int32)]
@@ -79,6 +86,46 @@ def marching_tetrahedra_native(cell_origins: np.ndarray,
             origins.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             sdf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             len(origins), float(weld_tol))
+        n_verts = lib.mesh_ops_num_vertices()
+        verts = np.empty((n_verts, 3), np.float32)
+        faces = np.empty((n_faces, 3), np.int32)
+        if n_verts:
+            lib.mesh_ops_get(
+                verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        lib.mesh_ops_free()
+    return verts, faces
+
+
+def marching_tetrahedra_indexed_native(cells: np.ndarray,
+                                       corner_idx: np.ndarray,
+                                       sdf: np.ndarray,
+                                       use_sentinel: bool,
+                                       nan_fallback: float,
+                                       weld_tol: float = 0.0):
+    """Fused gather + observed-crossing gate + marching tetrahedra.
+
+    Replaces mesh.extract_mesh's numpy block (``sdf[corner_idx]`` gather,
+    NaN observation mask, crossing compaction) with one C++ streaming pass
+    over ALL lattice cells.  With ``use_sentinel`` a cell meshes only when
+    its non-NaN corners cross the level set; NaN corners interpolate as
+    ``nan_fallback`` (mesh.py mask_sentinel semantics).  Returns
+    (vertices [V,3] float32 lattice units, faces [F,3] int32) or None when
+    the native library is unavailable.
+    """
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    cells = np.ascontiguousarray(cells, np.int64)
+    corner_idx = np.ascontiguousarray(corner_idx, np.int64)
+    sdf = np.ascontiguousarray(sdf, np.float32)
+    with _LOCK:
+        n_faces = lib.mesh_ops_marching_tets_indexed(
+            cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            corner_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sdf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(cells), int(bool(use_sentinel)), float(nan_fallback),
+            float(weld_tol))
         n_verts = lib.mesh_ops_num_vertices()
         verts = np.empty((n_verts, 3), np.float32)
         faces = np.empty((n_faces, 3), np.int32)

@@ -123,3 +123,48 @@ def test_native_weld_matches_reference_merge(native_ok):
     a = {tuple(np.round(v, 4)) for v in v_nat}
     b = {tuple(np.round(v, 4)) for v in merged.vertices}
     assert a == b
+
+
+def test_native_indexed_matches_plain(native_ok):
+    """Fused indexed MC (gather + crossing gate in C++) is bit-identical to
+    gathering/compacting in numpy and calling the plain native MC — with and
+    without the NaN observation-sentinel semantics."""
+    rng = np.random.RandomState(7)
+    ext = 8
+    r = np.arange(-ext, ext)
+    cells = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+    # point lattice covering the cells, sdf sampled per point (shared corners)
+    pr = np.arange(-ext, ext + 1)
+    pts = np.stack(np.meshgrid(pr, pr, pr, indexing="ij"), -1).reshape(-1, 3)
+    sdf = (np.linalg.norm(pts, axis=-1) - 5.0).astype(np.float32)
+    # NaN-out a random 20% of points (unobserved)
+    nanmask = rng.rand(len(sdf)) < 0.2
+    sdf_nan = sdf.copy()
+    sdf_nan[nanmask] = np.nan
+    # corner index via the lattice key order
+    side = 2 * ext + 1
+    def pid(c):
+        return ((c[..., 0] + ext) * side + (c[..., 1] + ext)) * side + (
+            c[..., 2] + ext)
+    corner_idx = pid(cells[:, None, :] + m._CUBE_CORNERS[None]).astype(np.int64)
+    fallback = np.float32(0.05)
+
+    for sentinel, s in ((False, sdf), (True, sdf_nan)):
+        cell_sdf = s[corner_idx]
+        if sentinel:
+            observed = ~np.isnan(cell_sdf)
+            obs_min = np.where(observed, cell_sdf, np.inf).min(1)
+            obs_max = np.where(observed, cell_sdf, -np.inf).max(1)
+            crossing = (obs_min < 0) & (obs_max > 0)
+            cell_sdf = np.where(observed, cell_sdf, fallback)
+        else:
+            crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
+        for tol in (0.0, 0.5):
+            v_ref, f_ref = native.marching_tetrahedra_native(
+                cells[crossing], cell_sdf[crossing], tol)
+            v_idx, f_idx = native.marching_tetrahedra_indexed_native(
+                cells, corner_idx, s, use_sentinel=sentinel,
+                nan_fallback=fallback, weld_tol=tol)
+            assert np.array_equal(v_ref, v_idx), (sentinel, tol)
+            assert np.array_equal(f_ref, f_idx), (sentinel, tol)
+        assert crossing.sum() > 100  # the fixture actually exercises the gate
