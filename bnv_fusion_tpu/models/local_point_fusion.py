@@ -98,6 +98,15 @@ class FusionPointNetTrainer:
 
     def _build_step(self):
         reg_w = self.reg_weight
+        # trainer.pretrain_devices > 1: shard the patch batch across a DP
+        # mesh (parallel/dp.make_sharded_pretrain_step — SURVEY §2.5's
+        # pretraining DP surface); identical semantics, batch must divide
+        n_dev = int(getattr(self.cfg.trainer, "pretrain_devices", 1) or 1)
+        if n_dev > 1:
+            from bnv_fusion_tpu.parallel import dp, mesh as pmesh
+
+            return dp.make_sharded_pretrain_step(
+                pmesh.make_mesh(n_dev), self.optimizer, reg_weight=reg_w)
         grad_fn = jax.value_and_grad(
             partial(pretrain_loss, reg_weight=reg_w), has_aux=True)
         opt = self.optimizer

@@ -320,3 +320,47 @@ def make_sharded_optimize_step(mesh: Mesh, params: Dict[str, Any],
         out_specs=(P(), P(), opt_spec, P()),
         check_vma=False)
     return opt, jax.jit(sharded)
+
+
+def make_sharded_pretrain_step(mesh: Mesh, optimizer,
+                               reg_weight: float = 1e-3,
+                               axis: str = "dp"):
+    """Jitted embedding-pretraining step with the PATCH batch sharded.
+
+    The third DP surface of SURVEY §2.5 (after points-sharded fusion and
+    rays-sharded optimization): each chip runs the PointNet + decoder
+    forward/backward on its batch shard, gradients pmean over ICI, the
+    Adam update is replicated.  Matches the single-device
+    models/local_point_fusion.FusionPointNetTrainer step exactly (the loss
+    is a mean over equal shards, so pmean-of-shard-means == global mean).
+
+    ``optimizer`` is the trainer's optax optimizer (shared so the LR
+    schedule stays identical).  Signature: step(params, opt_state,
+    input_pts [B,N,6], n_keep [B], training_pts [B,Q,3], gt_sdf [B,Q]) ->
+    (params, opt_state, loss, logs); B must divide the mesh size.
+    """
+    # imported here: models -> parallel would otherwise be cyclic
+    from bnv_fusion_tpu.models.local_point_fusion import pretrain_loss
+
+    grad_fn = jax.value_and_grad(
+        partial(pretrain_loss, reg_weight=reg_weight), has_aux=True)
+
+    def local_fn(params, opt_state, input_pts, n_keep, training_pts,
+                 gt_sdf):
+        (loss, logs), g = grad_fn(params, input_pts, n_keep, training_pts,
+                                  gt_sdf)
+        g = jax.lax.pmean(g, axis)
+        loss = jax.lax.pmean(loss, axis)
+        logs = jax.tree.map(lambda v: jax.lax.pmean(v, axis), logs)
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, logs
+
+    opt_spec = jax.tree.map(lambda _: P(), optimizer.init(
+        jnp.zeros((1, 1))))
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), opt_spec, P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), opt_spec, P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)

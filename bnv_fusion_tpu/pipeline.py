@@ -559,6 +559,11 @@ class NeuralMap:
                 train_ray_splits=self.train_ray_splits, lr=lr,
                 neighbor_kernel=int(getattr(self.config.model,
                                             "neighbor_kernel", 3)),
+                # render-loss forward/backward precision (Adam state and
+                # the latent features themselves stay float32 either way)
+                compute_dtype=(jnp.bfloat16 if str(getattr(
+                    self.config.model, "optim_dtype", "float32"))
+                    == "bfloat16" else jnp.float32),
                 error_guided=error_guided,
                 decode_layout=str(getattr(self.config.model,
                                           "decode_layout", "rows")),

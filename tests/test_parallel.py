@@ -206,3 +206,75 @@ def test_neural_map_sharded_optimize(rng, params):
         assert np.all(np.isfinite(results[dev]))
     assert np.abs(results[1]).max() > 0
     np.testing.assert_allclose(results[8], results[1], rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_pretrain_matches_single_device(rng):
+    """The DP embedding-pretraining step (batch sharded over 8 virtual
+    devices) tracks the single-device trainer step: same loss, same params
+    trajectory over several Adam steps."""
+    import optax
+
+    from bnv_fusion_tpu.models.local_point_fusion import pretrain_loss
+    from bnv_fusion_tpu.parallel import make_sharded_pretrain_step
+    from functools import partial
+
+    params0 = jax.tree.map(jnp.asarray, bnn.init_model(jax.random.key(3)))
+    reg_w = 1e-3
+    sched = optax.exponential_decay(1e-3, transition_steps=10,
+                                    decay_rate=0.5, staircase=True)
+    b, n, q = 16, 32, 24
+
+    def make_batch(i):
+        r = np.random.RandomState(100 + i)
+        return (r.randn(b, n, 6).astype(np.float32),
+                r.randint(4, n, size=(b,)),
+                r.rand(b, q, 3).astype(np.float32) * 2 - 1,
+                (r.rand(b, q).astype(np.float32) - 0.5))
+
+    # single-device reference trajectory
+    opt1 = optax.adam(sched)
+    grad_fn = jax.value_and_grad(partial(pretrain_loss, reg_weight=reg_w),
+                                 has_aux=True)
+
+    @jax.jit
+    def step1(params, opt_state, ip, nk, tp, gt):
+        (loss, logs), g = grad_fn(params, ip, nk, tp, gt)
+        updates, opt_state = opt1.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    opt2 = optax.adam(sched)
+    step8 = make_sharded_pretrain_step(make_mesh(8), opt2, reg_weight=reg_w)
+
+    p1, s1 = params0, opt1.init(params0)
+    p8, s8 = params0, opt2.init(params0)
+    for i in range(4):
+        ip, nk, tp, gt = make_batch(i)
+        p1, s1, l1 = step1(p1, s1, ip, nk, tp, gt)
+        p8, s8, l8, logs8 = step8(p8, s8, jnp.asarray(ip), jnp.asarray(nk),
+                                  jnp.asarray(tp), jnp.asarray(gt))
+        np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+        assert set(logs8) == {"bce_loss", "reg_loss"}
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_trainer_pretrain_devices_knob(rng):
+    """FusionPointNetTrainer wires trainer.pretrain_devices into the
+    sharded step (train_step API unchanged)."""
+    from bnv_fusion_tpu.config import load_config
+    from bnv_fusion_tpu.models.local_point_fusion import FusionPointNetTrainer
+
+    cfg = load_config(["model=fusion_pointnet_model",
+                       "dataset=synthetic_patches",
+                       "trainer.pretrain_devices=8"])
+    tr = FusionPointNetTrainer(cfg)
+    r = np.random.RandomState(0)
+    batch = {
+        "input_pts": r.randn(16, 64, 6).astype(np.float32),
+        "training_pts": r.rand(16, 24, 3).astype(np.float32) * 2 - 1,
+        "gt": (r.rand(16, 24).astype(np.float32) - 0.5),
+    }
+    loss, logs = tr.train_step(batch)
+    assert np.isfinite(loss)
+    assert "bce_loss" in logs
