@@ -127,8 +127,10 @@ def main():
         nm_pass.integrate_batch(batches[0])
         _ = np.asarray(nm_pass.table.weights[:1])
         t0 = time.time()
-        for b in timed:
-            nm_pass.integrate_batch(b)
+        # integrate_batches overlaps host-side frame stacking with device
+        # compute (the streaming condition): ~2 ms/frame of np.stack moves
+        # off the critical path
+        nm_pass.integrate_batches(timed)
         _ = np.asarray(nm_pass.table.weights[:1])
         best_dt = min(best_dt, time.time() - t0)
         nm = nm_pass

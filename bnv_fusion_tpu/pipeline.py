@@ -409,7 +409,30 @@ class NeuralMap:
 
         return step
 
-    def integrate_batch(self, frames: List[Dict[str, Any]]):
+    def _stack_batch(self, keep: List[Dict[str, Any]]):
+        """Host-side numpy stacking of a frame batch (the only serial host
+        work of integrate_batch — ~2 ms/frame at 480x640; integrate_batches
+        overlaps it with the previous batch's device compute)."""
+        out = {}
+        if all(f.get("depth_raw") is not None for f in keep):
+            scales = {float(f.get("depth_scale", 1000.0)) for f in keep}
+            if len(scales) != 1:
+                raise ValueError("mixed depth_scale within one batch")
+            out["raw"] = np.stack(
+                [np.asarray(f["depth_raw"], np.uint16) for f in keep])
+            out["scale"] = next(iter(scales))
+        else:
+            out["depth"] = np.stack(
+                [np.asarray(f["depth"], np.float32) for f in keep])
+        out["T_wc"] = np.stack(
+            [np.asarray(f["T_wc"], np.float32) for f in keep])
+        out["intr"] = np.stack(
+            [np.asarray(f["intr_mat"], np.float32) for f in keep])
+        if self.fuse_color:
+            out["rgb"] = np.stack([self._frame_rgb(f) for f in keep])
+        return out
+
+    def integrate_batch(self, frames: List[Dict[str, Any]], staged=None):
         """Fuse K frames in ONE device launch (lax.scan, sequential
         semantics identical to per-frame integrate).
 
@@ -417,6 +440,8 @@ class NeuralMap:
         overhead on top of ~65 ms of device compute per 480x640 frame;
         batching amortizes the former.  Latency is bounded by K frames —
         per-frame `integrate` remains the low-latency online path.
+        ``staged`` optionally passes the _stack_batch result (prefetched
+        on another thread by integrate_batches).
         """
         k = len(frames)
         if k == 0:
@@ -432,27 +457,19 @@ class NeuralMap:
         if key not in self._fuse_batch_steps:
             self._fuse_batch_steps[key] = self._build_fuse_batch_step(
                 k, keep[0])
-        if all(f.get("depth_raw") is not None for f in keep):
-            # stage the sensor-native uint16 depth (4x less tunnel traffic
-            # than f32) and convert on device; the converted f32 stays
-            # device-resident for the optimization ray pool
-            scales = {float(f.get("depth_scale", 1000.0)) for f in keep}
-            if len(scales) != 1:
-                raise ValueError("mixed depth_scale within one batch")
-            raw = jnp.asarray(np.stack(
-                [np.asarray(f["depth_raw"], np.uint16) for f in keep]))
-            depths = self._convert_raw_depth(raw, next(iter(scales)))
+        if staged is None or len(keep) != len(frames):
+            staged = self._stack_batch(keep)
+        if "raw" in staged:
+            # sensor-native uint16 depth (4x less tunnel traffic than f32),
+            # converted on device; the f32 stays device-resident for the
+            # optimization ray pool
+            depths = self._convert_raw_depth(jnp.asarray(staged["raw"]),
+                                             staged["scale"])
         else:
-            depths = jnp.asarray(np.stack(
-                [np.asarray(f["depth"], np.float32) for f in keep]))
-        T_wcs = jnp.asarray(np.stack(
-            [np.asarray(f["T_wc"], np.float32) for f in keep]))
-        intrs = jnp.asarray(np.stack(
-            [np.asarray(f["intr_mat"], np.float32) for f in keep]))
-        rgbs = None
-        if self.fuse_color:
-            rgbs = jnp.asarray(np.stack(
-                [self._frame_rgb(f) for f in keep]))
+            depths = jnp.asarray(staged["depth"])
+        T_wcs = jnp.asarray(staged["T_wc"])
+        intrs = jnp.asarray(staged["intr"])
+        rgbs = jnp.asarray(staged["rgb"]) if "rgb" in staged else None
         self.table, self.tsdf_vol, stats = self._fuse_batch_steps[key](
             self.table, self.tsdf_vol, self.params, depths, T_wcs, intrs,
             self.bound_min, self.bound_max, rgbs)
@@ -463,6 +480,28 @@ class NeuralMap:
         for f, d, t, i in zip(keep, depths, T_wcs, intrs):
             self.frames.append({"depth": d, "T_wc": t, "intr": i,
                                 "frame_id": f.get("frame_id")})
+
+    def integrate_batches(self, batches: List[List[Dict[str, Any]]]):
+        """Fuse several K-frame batches, overlapping each batch's host-side
+        numpy stacking with the previous batch's (async) device dispatch —
+        the streaming condition where sensor frames arrive while the chip
+        fuses.  Semantics identical to sequential integrate_batch calls."""
+        import concurrent.futures as _cf
+
+        if not batches:
+            return
+        with _cf.ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = None
+            for i, b in enumerate(batches):
+                staged = nxt.result() if nxt is not None else None
+                if i + 1 < len(batches):
+                    nb = [f for f in batches[i + 1]
+                          if not np.any(np.isnan(np.asarray(f["T_wc"])))]
+                    nxt = (pool.submit(self._stack_batch, nb)
+                           if len(nb) == len(batches[i + 1]) else None)
+                else:
+                    nxt = None
+                self.integrate_batch(b, staged=staged)
 
     def integrate(self, frame: Dict[str, Any]):
         """Fuse one frame (reference run_e2e.py:78-109) and keep its raw

@@ -55,8 +55,8 @@ def main():
     def run(measure):
         nm = NeuralMap(ds.dimensions, cfg, params)
         t0 = time.time()
-        for i in range(0, len(frames) - k + 1, k):
-            nm.integrate_batch(frames[i:i + k])
+        nm.integrate_batches([frames[i:i + k]
+                              for i in range(0, len(frames) - k + 1, k)])
         # block_until_ready does NOT block on the axon backend — drain the
         # async queue with a scalar fetch so phases attribute honestly
         _ = np.asarray(nm.table.weights[:1])

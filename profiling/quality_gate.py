@@ -66,8 +66,8 @@ def main():
     n_iters = len(frames) * max(skip, 1) * 2  # reference run_e2e.py:284-287
 
     nm = NeuralMap(ds.dimensions, cfg, params)
-    for i in range(0, len(frames) - k + 1, k):
-        nm.integrate_batch(frames[i:i + k])
+    nm.integrate_batches([frames[i:i + k]
+                          for i in range(0, len(frames) - k + 1, k)])
     tail = len(frames) % k
     if tail:
         for f in frames[len(frames) - tail:]:

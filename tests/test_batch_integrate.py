@@ -308,3 +308,36 @@ def test_merged_fuse_sort1_gather_bit_identical(pretrained_tcnn_path):
     b = fusion._cellsort_sort1(*args, sort1_gather=True)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_integrate_batches_matches_sequential(pipeline_cfg_factory=None):
+    """integrate_batches (prefetch-overlap staging) is bitwise identical to
+    sequential integrate_batch calls."""
+    import numpy as np
+
+    from bnv_fusion_tpu.checkpoint import load_pretrained
+    from bnv_fusion_tpu.config import load_config
+    from bnv_fusion_tpu.pipeline import NeuralMap
+
+    cfg = load_config([
+        "model.voxel_size=0.05", "model.table_capacity=65536",
+        "dataset.num_images=8", "dataset.img_res=[60,80]",
+        "dataset.stage_raw_depth=true",
+    ])
+    params = load_pretrained("/root/reference/pretrained/pointnet_tcnn.ckpt")
+    from bnv_fusion_tpu.datasets import get_dataset
+    ds = get_dataset(cfg, "val")
+    frames = [ds[i] for i in range(len(ds))]
+    batches = [frames[:4], frames[4:8]]
+
+    nm1 = NeuralMap(ds.dimensions, cfg, params)
+    for b in batches:
+        nm1.integrate_batch(b)
+    nm2 = NeuralMap(ds.dimensions, cfg, params)
+    nm2.integrate_batches(batches)
+    np.testing.assert_array_equal(np.asarray(nm1.table.features),
+                                  np.asarray(nm2.table.features))
+    np.testing.assert_array_equal(np.asarray(nm1.table.weights),
+                                  np.asarray(nm2.table.weights))
+    np.testing.assert_array_equal(np.asarray(nm1.tsdf_vol.sdf),
+                                  np.asarray(nm2.tsdf_vol.sdf))
