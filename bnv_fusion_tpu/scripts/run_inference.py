@@ -29,8 +29,20 @@ OPERATING_POINTS = {
                 "dataset": "fusion_inference_dataset_scannet"},
     "arkit": {"voxel_size": 0.02, "ray_max_dist": 3, "skip": 1,
               "dataset": "fusion_inference_dataset_arkit"},
+    # compaction widths sized to the MEASURED device-f32 occupancy at this
+    # operating point (profiling/probe_seg_count.py 0.02: max 16937 unique
+    # cells / 30531 unique corners per frame): u_cell=32768 keeps the
+    # stage-2 sort input at 8*u_cell = 2^18 (pow2 — lax.sort's bitonic
+    # network pads to the next power of two, so non-pow2 widths LOSE, see
+    # RESULTS.md), corners 49152 = 1.6x margin.  Measured: bench 40.1 ->
+    # 54.5 fps at voxel 0.02, overflow 0 (width-only changes with zero
+    # overflow are numerically exact).  Only the synthetic point carries
+    # them: real ScanNet/ICL scenes at max_depth 5 are unmeasured — they
+    # keep the safe defaults; size per scene with probe_seg_count.py.
     "synthetic": {"voxel_size": 0.02, "ray_max_dist": 3, "skip": 1,
-                  "dataset": "synthetic_demo"},
+                  "dataset": "synthetic_demo",
+                  "max_unique_cells_per_frame": 32768,
+                  "max_unique_per_frame": 49152},
 }
 
 
@@ -60,6 +72,10 @@ def main(argv=None):
             f"model.min_pts_in_grid={args.min_pts_in_grid}",
             f"trainer.checkpoint={args.checkpoint}",
         ]
+        for width_key in ("max_unique_cells_per_frame",
+                          "max_unique_per_frame"):
+            if width_key in op:
+                overrides.append(f"model.{width_key}={op[width_key]}")
         if args.data_dir:
             overrides.append(f"data_dir={args.data_dir}")
         overrides += list(args.extra)

@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    voxel = float(sys.argv[1]) if len(sys.argv) > 1 else 0.01
+
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +38,7 @@ def main():
     from bnv_fusion_tpu.pipeline import _frame_points
 
     cfg = load_config([
-        "model.voxel_size=0.01", "dataset.num_images=48",
+        f"model.voxel_size={voxel}", "dataset.num_images=48",
         "dataset.img_res=[480,640]",
     ])
     ds = get_dataset(cfg, "val")
