@@ -185,3 +185,23 @@ def test_run_inference_operating_points():
     assert OPERATING_POINTS["icl_nuim"]["voxel_size"] == 0.02
     assert OPERATING_POINTS["scannet"]["ray_max_dist"] == 5
     assert OPERATING_POINTS["arkit"]["skip"] == 1
+    # occupancy-sized compaction widths (probe_seg_count.py 0.02; see
+    # RESULTS.md: 40.1 -> 54.5 fps, overflow 0) ride only the measured
+    # synthetic point — real ScanNet/ICL scenes keep the safe defaults
+    assert OPERATING_POINTS["synthetic"]["max_unique_cells_per_frame"] == 32768
+    assert "max_unique_cells_per_frame" not in OPERATING_POINTS["scannet"]
+
+
+def test_run_inference_forwards_width_overrides(monkeypatch):
+    import bnv_fusion_tpu.run_e2e as run_e2e
+    from bnv_fusion_tpu.scripts import run_inference
+
+    captured = []
+    monkeypatch.setattr(run_e2e, "main",
+                        lambda overrides: captured.append(list(overrides)))
+    assert run_inference.main(["synthetic", "--seqs", "s1",
+                               "--checkpoint", "ckpt.ckpt"]) == 0
+    (ovr,) = captured
+    assert "model.max_unique_cells_per_frame=32768" in ovr
+    assert "model.max_unique_per_frame=49152" in ovr
+    assert "model.voxel_size=0.02" in ovr
