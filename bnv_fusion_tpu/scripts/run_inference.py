@@ -35,8 +35,10 @@ OPERATING_POINTS = {
     # stage-2 sort input at 8*u_cell = 2^18 (pow2 — lax.sort's bitonic
     # network pads to the next power of two, so non-pow2 widths LOSE, see
     # RESULTS.md), corners 49152 = 1.6x margin.  Measured: bench 40.1 ->
-    # 54.5 fps at voxel 0.02, overflow 0 (width-only changes with zero
-    # overflow are numerically exact).  Only the synthetic point carries
+    # 54.5 fps at voxel 0.02, overflow 0 (zero-overflow width changes keep
+    # voxels/counts/weights exact; feature sums move only within f32
+    # summation-order noise — pinned by the width-invariance test).
+    # Only the synthetic point carries
     # them: real ScanNet/ICL scenes at max_depth 5 are unmeasured — they
     # keep the safe defaults; size per scene with probe_seg_count.py.
     "synthetic": {"voxel_size": 0.02, "ray_max_dist": 3, "skip": 1,

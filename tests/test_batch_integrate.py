@@ -195,6 +195,70 @@ def test_merged_fuse_sort_bf16_close_to_f32(pretrained_tcnn_path):
     np.testing.assert_allclose(f1[o1], f2[o2], atol=0.02, rtol=0.02)
 
 
+def test_merged_fuse_width_invariance(pretrained_tcnn_path):
+    """Compaction widths are pure padding: any widths that fit the scene
+    (overflow 0) fuse the same voxel set with exactly equal counts/weights/
+    hits; feature sums agree within f32 summation-order noise (the XLA
+    path's mean-centered cumsum shifts its ~1e-4 cancellation with pad
+    width; the kernel path sums segments directly and is far tighter).
+    This is the property the occupancy-sized coarse operating point relies
+    on (RESULTS.md: probe_seg_count-sized widths took the voxel-0.02 bench
+    40.1 -> 54.5 fps)."""
+    import jax.numpy as jnp
+
+    from bnv_fusion_tpu import fusion, geometry
+    from bnv_fusion_tpu import voxel as vx
+
+    cfg = load_config([
+        "model.voxel_size=0.06", "model.min_pts_in_grid=3",
+        "dataset.num_images=3", "dataset.img_res=[60,80]",
+        "model.table_capacity=65536",
+    ])
+    from bnv_fusion_tpu.datasets import get_dataset
+
+    params = load_pretrained(pretrained_tcnn_path)
+    ds = get_dataset(cfg, "val")
+    frames = [ds[i] for i in range(3)]
+    min_c, max_c, n_xyz = vx.get_world_range(ds.dimensions, 0.06)
+    bound_min, bound_max = jnp.asarray(min_c), jnp.asarray(max_c)
+
+    pts, nrm, val = [], [], []
+    for f in frames:
+        depth = jnp.asarray(f["depth"], jnp.float32)
+        intr = jnp.asarray(f["intr_mat"], jnp.float32)
+        T_wc = jnp.asarray(f["T_wc"], jnp.float32)
+        xyz = geometry.depth_to_xyz(depth, intr)
+        nw = -geometry.rotate_vectors(
+            T_wc, geometry.normals_from_depth(
+                depth, intr, mask=depth > 0).reshape(-1, 3))
+        pts.append(geometry.transform_points(T_wc, xyz.reshape(-1, 3)))
+        nrm.append(nw)
+        val.append((depth > 0).reshape(-1))
+    pts, nrm, val = jnp.stack(pts), jnp.stack(nrm), jnp.stack(val)
+
+    def fuse(max_unique, max_unique_cells, **extra):
+        t = tbl.create_table(8, 65536, n_xyz=n_xyz)
+        t, _ = fusion.fuse_frames_merged(
+            t, params, pts, nrm, val, bound_min, bound_max,
+            voxel_size=0.06, min_pts_in_grid=3, max_unique=max_unique,
+            max_unique_cells=max_unique_cells, **extra)
+        assert int(np.asarray(t.overflow)) == 0
+        k, f, w, h, _ = tbl.active_entries(t)
+        o = np.lexsort(k.T)
+        return k[o], f[o], w[o], h[o]
+
+    for extra, f_atol in (({}, 2e-3), ({"seg_kernel": "interpret"}, 1e-5)):
+        k1, f1, w1, h1 = fuse(4096, 2048, **extra)
+        k2, f2, w2, h2 = fuse(8192, 4096, **extra)
+        np.testing.assert_array_equal(k1, k2)
+        np.testing.assert_array_equal(w1, w2)   # counts ride exact int32
+        np.testing.assert_array_equal(h1, h2)
+        # XLA path: mean-centered cumsum cancellation (~1e-4 documented)
+        # moves with pad width; kernel path: direct segment sums, only
+        # tile-boundary summation order shifts
+        np.testing.assert_allclose(f1, f2, atol=f_atol)
+
+
 def test_tsdf_every_subsamples_prior_cadence(pretrained_tcnn_path):
     """model.tsdf_every=2: the batched launch integrates every 2nd depth
     into the prior at obs_weight=2 (same total weight); the latent table
