@@ -68,22 +68,31 @@ def main():
     dc = jnp.asarray(cnt)
     dp = [jnp.asarray(p) for p in pays]
 
+    # checksums are int32 ON PURPOSE (x64 is not enabled, so int64 would
+    # silently downcast anyway — ADVICE round 3): wraparound is fine for a
+    # DCE-proofing checksum, it only needs to consume every operand
     @jax.jit
     def run_vmapped(k, c, p0, p1, p2, p3):
         ops = jax.vmap(lambda kk, cc, *pp: jax.lax.sort(
             (kk,) + pp + (cc,), num_keys=1))(k, c, p0, p1, p2, p3)
-        chk = sum(jnp.sum(o.astype(jnp.int64)) for o in ops[1:])
-        return jnp.sum(ops[0].astype(jnp.int64) *
-                       jnp.arange(m2, dtype=jnp.int64)[None, :]) + chk
+        chk = sum(jnp.sum(o.astype(jnp.int32)) for o in ops[1:])
+        return jnp.sum(ops[0].astype(jnp.int32) *
+                       jnp.arange(m2, dtype=jnp.int32)[None, :]) + chk
 
     @jax.jit
     def run_flat(k, c, p0, p1, p2, p3):
+        # is_stable=True: the candidate restructure NEEDS stability (it
+        # preserves frame-major order inside a voxel segment for the
+        # two-key seg-reduce).  The originally recorded 4.85 ms/frame was
+        # measured with the default unstable sort, i.e. a LOWER bound on
+        # the true candidate — the dead-end conclusion is conservative
+        # either way (ADVICE round 3).
         ops = jax.lax.sort(
             (k.reshape(-1),) + tuple(q.reshape(-1) for q in (p0, p1, p2, p3))
-            + (c.reshape(-1),), num_keys=1)
-        chk = sum(jnp.sum(o.astype(jnp.int64)) for o in ops[1:])
-        return jnp.sum(ops[0].astype(jnp.int64) *
-                       jnp.arange(kf * m2, dtype=jnp.int64)) + chk
+            + (c.reshape(-1),), num_keys=1, is_stable=True)
+        chk = sum(jnp.sum(o.astype(jnp.int32)) for o in ops[1:])
+        return jnp.sum(ops[0].astype(jnp.int32) *
+                       jnp.arange(kf * m2, dtype=jnp.int32)) + chk
 
     for name, fn in (("vmapped-per-frame", run_vmapped), ("flat", run_flat)):
         t0 = time.time()
