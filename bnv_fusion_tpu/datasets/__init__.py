@@ -13,3 +13,4 @@ from bnv_fusion_tpu.datasets import synthetic_idr  # noqa: F401
 from bnv_fusion_tpu.datasets import arkit  # noqa: F401
 from bnv_fusion_tpu.datasets import pointnet_patches  # noqa: F401
 from bnv_fusion_tpu.datasets import fusion_windows  # noqa: F401
+from bnv_fusion_tpu.datasets import refiner  # noqa: F401
