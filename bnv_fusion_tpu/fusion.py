@@ -449,18 +449,13 @@ def _cellsort_reduce(params, pts_w, normals, valid, bound_min, bound_max,
             n_inside)
 
 
-def _cellsort_sort1(pts_w, normals, valid, bound_min, bound_max, voxel_size,
-                    n_xyz, n_vox, sort1_gather: bool = False):
-    """Stage-1 front: bound mask + cell keys + the point sort.
+def _cell_keys(pts_w, valid, bound_min, bound_max, voxel_size, n_xyz, n_vox):
+    """Bound mask + (cell, mcode) keys of one frame's points — the f32
+    device semantics every width below is sized against.  Shared by the
+    sort front and the width probe so the two can never drift (a numpy-f64
+    re-derivation undercounts ~25% at the bench point, RESULTS.md).
 
-    ``sort1_gather`` sorts (cell, mcode, row index) — 3 operands instead
-    of 8 — then gathers the 6 float payload channels by the sorted index
-    (bit-identical: lax.sort is stable and the gather reproduces the same
-    rows).  Whether the smaller sort + one gather beats carrying the
-    payloads through the sort network is hardware-dependent; the flag
-    exists to measure it (model.fuse_sort1_gather).
-
-    Returns (cell_s, mcode_s, coords_s, normals_s, n_valid) — one frame."""
+    Returns (inside, cell, mcode) with invalid entries at (n_vox, 8)."""
     inside = jnp.all((pts_w > bound_min + voxel_size) &
                      (pts_w < bound_max - voxel_size), axis=-1) & valid
     coords = voxel.position_to_coords(pts_w, bound_min, voxel_size)
@@ -475,6 +470,55 @@ def _cellsort_sort1(pts_w, normals, valid, bound_min, bound_max, voxel_size,
     mcode = mi[:, 0] * 4 + mi[:, 1] * 2 + mi[:, 2]
     cell = jnp.where(inside, cell, n_vox)
     mcode = jnp.where(inside, mcode, 8)
+    return inside, cell, mcode, coords
+
+
+def frame_width_counts(pts_w, valid, bound_min, bound_max, voxel_size,
+                       n_xyz, n_vox):
+    """Device-f32 occupancy of ONE frame: (#unique (cell,mcode) groups,
+    #unique corner voxels) — the exact quantities the static compaction
+    widths ``max_unique_cells_per_frame`` / ``max_unique_per_frame`` bound.
+
+    Runs the same key math as the fuse front (_cell_keys), then counts
+    uniques by sort+boundary — no encoder, no payloads, so probing a batch
+    of frames costs two sorts per frame.  Used by the pipeline's
+    ``model.max_unique_per_frame=auto`` width sizing (round-4 item 2)."""
+    inside, cell, mcode, _ = _cell_keys(pts_w, valid, bound_min, bound_max,
+                                        voxel_size, n_xyz, n_vox)
+    cell_s, mcode_s = jax.lax.sort((cell, mcode), num_keys=2)
+    prev_c = jnp.concatenate([jnp.full((1,), -1, cell_s.dtype), cell_s[:-1]])
+    prev_m = jnp.concatenate([jnp.full((1,), -1, mcode_s.dtype),
+                              mcode_s[:-1]])
+    new_g = ((cell_s != prev_c) | (mcode_s != prev_m)) & (cell_s < n_vox)
+    n_groups = jnp.sum(new_g).astype(jnp.int32)
+
+    s0 = n_xyz[1] * n_xyz[2]
+    s1 = n_xyz[2]
+    mi = jnp.stack([(mcode >> 2) & 1, (mcode >> 1) & 1, mcode & 1], axis=-1)
+    pattern = jnp.asarray(voxel._CORNER_PATTERN)            # [8,3]
+    offs = pattern[None, :, :] * mi[:, None, :]             # [N,8,3]
+    ck = cell[:, None] + offs[..., 0] * s0 + offs[..., 1] * s1 + offs[..., 2]
+    ck = jnp.where(inside[:, None], ck, n_vox).reshape(-1)
+    ck_s = jax.lax.sort(ck)
+    prev = jnp.concatenate([jnp.full((1,), -1, ck_s.dtype), ck_s[:-1]])
+    n_corners = jnp.sum((ck_s != prev) & (ck_s < n_vox)).astype(jnp.int32)
+    return n_groups, n_corners
+
+
+def _cellsort_sort1(pts_w, normals, valid, bound_min, bound_max, voxel_size,
+                    n_xyz, n_vox, sort1_gather: bool = False):
+    """Stage-1 front: bound mask + cell keys + the point sort.
+
+    ``sort1_gather`` sorts (cell, mcode, row index) — 3 operands instead
+    of 8 — then gathers the 6 float payload channels by the sorted index
+    (bit-identical: lax.sort is stable and the gather reproduces the same
+    rows).  Whether the smaller sort + one gather beats carrying the
+    payloads through the sort network is hardware-dependent; the flag
+    exists to measure it (model.fuse_sort1_gather).
+
+    Returns (cell_s, mcode_s, coords_s, normals_s, n_valid) — one frame."""
+    inside, cell, mcode, coords = _cell_keys(
+        pts_w, valid, bound_min, bound_max, voxel_size, n_xyz, n_vox)
     coords_z = jnp.where(inside[:, None], coords, 0.0)
     normals_z = jnp.where(inside[:, None], normals, 0.0)
     if sort1_gather:
@@ -653,7 +697,8 @@ def fuse_frames_merged(table, params: Dict[str, Any],
                        max_unique_batch: int | None = None,
                        seg_kernel: bool | str = False,
                        sort_bf16: bool = False,
-                       sort1_gather: bool = False):
+                       sort1_gather: bool = False,
+                       front_chunks: int = 1):
     """Fuse K frames with ONE table update (the batched-launch fast path).
 
     ``seg_kernel`` routes the two segment reductions through the batched
@@ -661,6 +706,16 @@ def fuse_frames_merged(table, params: Dict[str, Any],
     ``sort_bf16`` packs the stage-2 sort payload as bf16 pairs;
     ``sort1_gather`` sorts stage 1 by (cell, mcode, index) and gathers the
     float payloads (bit-identical; a measurement knob).
+
+    ``front_chunks`` > 1 runs the per-frame reduce FRONT as a lax.scan over
+    K/front_chunks-frame sub-batches instead of one K-wide batch — the
+    memory diet that fits K=32 in HBM (the front's live intermediates are
+    the encoder activations + sort payloads, ~0.6 GB/frame at 480x640; the
+    cross-frame merge + single table update still span the full K, so the
+    per-batch costs amortize over 2x the frames; the Pallas seg-reduce
+    kernel fires once per SUB-batch, same per-frame call cost as K=16).
+    Per-frame results are bit-identical to front_chunks=1 (the front is
+    frame-independent).
 
     The per-frame running mean (reference local_point_fusion.py:647-673) is
     associative: folding frames i..j into old state equals one update with
@@ -679,22 +734,45 @@ def fuse_frames_merged(table, params: Dict[str, Any],
     n_vox = (table.n_voxels if hasattr(table, "n_voxels")
              else table.slot_map.shape[0])
 
-    if seg_kernel:
-        (flat_u, cnt_u, sum_u, umask, n_unique, _, cells_dropped,
-         n_valid) = _cellsort_reduce_batched(
-            params, pts_w, normals, valid, bound_min, bound_max,
-            voxel_size, compute_dtype, max_unique, max_unique_cells,
-            n_xyz, n_vox, fdim, interpret=(seg_kernel == "interpret"),
-            sort_bf16=sort_bf16, sort1_gather=sort1_gather)
-    else:
-        def reduce_one(p, nr, v):
-            return _cellsort_reduce(params, p, nr, v, bound_min, bound_max,
-                                    voxel_size, compute_dtype, max_unique,
-                                    max_unique_cells, n_xyz, n_vox, fdim,
-                                    sort1_gather=sort1_gather)
+    def front_batch(p, nr, v):
+        """Reduce front over one [k, N] frame sub-batch -> array leaves only
+        (the static width ``u`` is recovered from shapes afterwards)."""
+        if seg_kernel:
+            (flat_u, cnt_u, sum_u, umask, n_unique, _, cells_dropped,
+             n_valid) = _cellsort_reduce_batched(
+                params, p, nr, v, bound_min, bound_max,
+                voxel_size, compute_dtype, max_unique, max_unique_cells,
+                n_xyz, n_vox, fdim, interpret=(seg_kernel == "interpret"),
+                sort_bf16=sort_bf16, sort1_gather=sort1_gather)
+        else:
+            def reduce_one(pp, nn, vv):
+                return _cellsort_reduce(params, pp, nn, vv, bound_min,
+                                        bound_max, voxel_size, compute_dtype,
+                                        max_unique, max_unique_cells, n_xyz,
+                                        n_vox, fdim,
+                                        sort1_gather=sort1_gather)
 
-        (flat_u, cnt_u, sum_u, umask, n_unique, _, cells_dropped,
-         n_valid) = jax.vmap(reduce_one)(pts_w, normals, valid)  # [K, U, ..]
+            (flat_u, cnt_u, sum_u, umask, n_unique, _, cells_dropped,
+             n_valid) = jax.vmap(reduce_one)(p, nr, v)  # [k, U, ..]
+        return flat_u, cnt_u, sum_u, umask, n_unique, cells_dropped, n_valid
+
+    if front_chunks > 1:
+        if kf % front_chunks:
+            raise ValueError(f"front_chunks={front_chunks} must divide the "
+                             f"batch size {kf}")
+        kc = kf // front_chunks
+
+        def body(_, inp):
+            return 0, front_batch(*inp)
+
+        xs = tuple(x.reshape((front_chunks, kc) + x.shape[1:])
+                   for x in (pts_w, normals, valid))
+        _, outs = jax.lax.scan(body, 0, xs)
+        (flat_u, cnt_u, sum_u, umask, n_unique, cells_dropped,
+         n_valid) = tuple(x.reshape((kf,) + x.shape[2:]) for x in outs)
+    else:
+        (flat_u, cnt_u, sum_u, umask, n_unique, cells_dropped,
+         n_valid) = front_batch(pts_w, normals, valid)
     u = flat_u.shape[1]
 
     # per-frame reference weighting + min-pts filter (pre-merge, exactly as

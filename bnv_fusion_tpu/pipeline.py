@@ -120,7 +120,39 @@ class NeuralMap:
 
         if capacity is None:
             capacity = int(getattr(m, "table_capacity", 1 << 21))
-        self.table = tbl.create_table(self.feat_dims, capacity, n_xyz=n_xyz)
+        # table layout routing (VERDICT round-3 item 3): "auto" = the
+        # dense/blocks routing of tables.create_table; "spatial" = the map
+        # sharded by scene region over trainer.fuse_devices chips
+        # (parallel/spatial.py) — the beyond-one-chip-HBM scene story.
+        # trainer.fuse_devices > 1 with the default layout = DP local fusion
+        # (points sharded, table replicated; parallel/dp.py).
+        fd_cfg = getattr(config.trainer, "fuse_devices", 1)
+        self._fuse_devices = (jax.device_count()
+                              if str(fd_cfg) in ("all", "0") else int(fd_cfg))
+        layout = str(getattr(m, "table_layout", "auto"))
+        self._spatial_mesh = None
+        self._points_fuse_step = None
+        if layout == "spatial":
+            if self._fuse_devices <= 1:
+                raise ValueError("model.table_layout=spatial needs "
+                                 "trainer.fuse_devices > 1")
+            from bnv_fusion_tpu.parallel import make_mesh
+            from bnv_fusion_tpu.parallel import spatial as _sp
+
+            d = self._fuse_devices
+            # pad the grid's minor axis so n_vox divides the mesh: padded
+            # voxels lie beyond bound_max and are never observed
+            nz = int(np.ceil(n_xyz[2] / d) * d) if \
+                int(np.prod(n_xyz)) % d else int(n_xyz[2])
+            n_xyz = np.asarray([n_xyz[0], n_xyz[1], nz], n_xyz.dtype)
+            self.n_xyz = jnp.asarray(n_xyz.astype(np.int32))
+            capacity = int(np.ceil(capacity / d) * d)
+            self._spatial_mesh = make_mesh(d, axis_name="sp")
+            self.table = _sp.create_spatial_table(
+                self._spatial_mesh, n_xyz, capacity, self.feat_dims)
+        else:
+            self.table = tbl.create_table(self.feat_dims, capacity,
+                                          n_xyz=n_xyz)
 
         self.tsdf_voxel_size = float(getattr(m, "tsdf_voxel_size", 0.025))
         # optional RGB fusion into the prior volume (reference frames are
@@ -144,6 +176,24 @@ class NeuralMap:
             self.tsdf_vol, _ = tsdf.create_tsdf_volume(
                 self.dimensions, self.tsdf_voxel_size,
                 with_color=self.fuse_color)
+
+        # compaction widths: ints from config, or "auto" = sized from a
+        # device-f32 occupancy probe of the first batch (round-4 item 2;
+        # the numpy-f64 probe undercounts ~25%, RESULTS.md) with
+        # model.width_margin headroom, widened x2 + recompiled if overflow
+        # still appears (lag-checked so no launch ever blocks on a fetch)
+        mu_raw = getattr(m, "max_unique_per_frame", 1 << 17)
+        muc_raw = getattr(m, "max_unique_cells_per_frame", None)
+        self._auto_widths = (str(mu_raw).lower() == "auto" or
+                             str(muc_raw).lower() == "auto")
+        self._width_margin = float(getattr(m, "width_margin", 1.5))
+        if self._auto_widths:
+            self._widths = None
+        else:
+            self._widths = (int(mu_raw),
+                            int(muc_raw) if muc_raw else None)
+        self._overflow_seen = 0
+        self._overflow_lag: List[Any] = []
 
         self.frames: List[Dict[str, Any]] = []
         self._fuse_step = None
@@ -221,14 +271,9 @@ class NeuralMap:
         # number of DISTINCT voxels one frame may touch (overflowing voxels
         # are dropped+counted and picked up by later frames).  Typical frames
         # touch 30-150k voxels; padded ops scale with this, so keep it tight.
-        max_unique = int(getattr(self.config.model,
-                                 "max_unique_per_frame", 1 << 17))
-        # cell-group compaction width of the cell-keyed fuse path (unique
-        # CELLS <= unique corner voxels, so a tighter width than max_unique
-        # shrinks the stage-2 merge sort; overflowing cells are counted)
-        mu_cells = getattr(self.config.model, "max_unique_cells_per_frame",
-                           None)
-        mu_cells = int(mu_cells) if mu_cells else None
+        # mu_cells: cell-group width of the cell-keyed path (unique CELLS <=
+        # unique corner voxels, so a tighter width shrinks the stage-2 sort)
+        max_unique, mu_cells = self._width_values()
         tsdf_vs = self.tsdf_voxel_size
         fuse_dtype = jnp.bfloat16 if str(getattr(
             self.config.model, "fuse_dtype", "float32")) == "bfloat16" \
@@ -268,14 +313,15 @@ class NeuralMap:
     def _fuse_statics_key(self, frame0) -> tuple:
         """Every static the fuse-step closures bake in (memo key part)."""
         m = self.config.model
-        mu_cells = getattr(m, "max_unique_cells_per_frame", None)
+        max_unique, mu_cells = self._width_values()
         mu_batch = getattr(m, "max_unique_per_batch", None)
+        if str(mu_batch).lower() == "auto":
+            mu_batch = None  # derived (2x max_unique) inside fusion
         window = (None if getattr(self, "_window_disabled", False)
                   else self._tsdf_window_for(frame0))
         return (
             self.voxel_size, self.min_pts_in_grid,
-            int(getattr(m, "max_unique_per_frame", 1 << 17)),
-            int(mu_cells) if mu_cells else None,
+            max_unique, mu_cells,
             int(mu_batch) if mu_batch else None,
             self.tsdf_voxel_size,
             str(getattr(m, "fuse_dtype", "float32")),
@@ -287,7 +333,115 @@ class NeuralMap:
             bool(getattr(m, "fuse_sort_bf16", False)),
             bool(getattr(m, "fuse_sort1_gather", False)),
             bool(getattr(m, "fuse_batch_merge", True)),
+            int(getattr(m, "fuse_front_chunks", 1)),
         )
+
+    # ------------------------------------------------------------------
+    # compaction-width sizing (model.max_unique_per_frame=auto)
+    # ------------------------------------------------------------------
+
+    def _width_values(self) -> tuple:
+        """(max_unique_per_frame, max_unique_cells_per_frame) — resolved."""
+        if self._widths is None:
+            raise RuntimeError(
+                "auto compaction widths not sized yet — the first "
+                "integrate/integrate_batch call probes them")
+        return self._widths
+
+    @staticmethod
+    def _next_pow2(x: int) -> int:
+        return 1 << max(int(x) - 1, 1).bit_length()
+
+    def _probe_width_counts(self, depths, T_wcs, intrs):
+        """Device-f32 occupancy of a frame batch: per-frame (unique cell
+        groups, unique corner voxels) as [K] arrays (fusion.frame_width_counts
+        vmapped; one compile per frame shape, memoized)."""
+        vs = self.voxel_size
+        n_vox = int(np.prod(np.asarray(self.n_xyz)))
+        n_xyz, bound_min, bound_max = self.n_xyz, self.bound_min, \
+            self.bound_max
+
+        key = ("widthprobe", vs, n_vox,
+               np.asarray(self.bound_min).tobytes())
+
+        def build():
+            @jax.jit
+            def probe(depths, T_wcs, intrs):
+                def one(depth, T_wc, intr):
+                    pts_w, _, valid = _frame_points(depth, T_wc, intr)
+                    return fusion.frame_width_counts(
+                        pts_w, valid, bound_min, bound_max, vs, n_xyz, n_vox)
+
+                return jax.vmap(one)(depths, T_wcs, intrs)
+
+            return probe
+
+        return _memo(key, build)(depths, T_wcs, intrs)
+
+    def _size_widths(self, depths, T_wcs, intrs):
+        """Set self._widths from a probe of this batch + width_margin:
+        u_cell -> next pow2 (the stage-2 sort input is 8*u_cell and
+        lax.sort's bitonic network pads to pow2 anyway), corner width ->
+        4096 multiple capped at 8*u_cell."""
+        g, c = self._probe_width_counts(depths, T_wcs, intrs)
+        g_max, c_max = int(np.max(np.asarray(g))), int(np.max(np.asarray(c)))
+        m = self._width_margin
+        u_cell = self._next_pow2(max(int(g_max * m), 4096))
+        mu = min(-(-int(c_max * m) // 4096) * 4096, 8 * u_cell)
+        self._widths = (mu, u_cell)
+        log_msg = (f"auto widths: probed g_max={g_max} c_max={c_max} over "
+                   f"{len(np.asarray(g))} frames -> "
+                   f"max_unique_per_frame={mu} cells={u_cell}")
+        from bnv_fusion_tpu.utils.logging import get_logger
+        get_logger(__name__).info(log_msg)
+
+    def _note_overflow(self, flush: bool = False):
+        """Lag-checked overflow monitor (auto mode): enqueue the current
+        device counter; fetch entries >= 2 launches old (already computed —
+        the fetch never stalls the dispatch pipeline).  On growth, widen
+        from a re-probe of the latest batch and rebuild the fuse steps."""
+        if not self._auto_widths:
+            return
+        # detach: the table is DONATED to the next fuse launch, which
+        # deletes this buffer before the lagged fetch below would read it
+        self._overflow_lag.append(self.table.overflow + 0)
+        depth = 0 if flush else 2
+        while len(self._overflow_lag) > depth:
+            val = int(np.asarray(self._overflow_lag.pop(0)))
+            if val > self._overflow_seen:
+                self._overflow_seen = val
+                self._widen()
+
+    def _widen(self):
+        """Overflow appeared despite the probe: re-probe the latest staged
+        batch and grow widths to max(probe*margin, 1.5x current)."""
+        from bnv_fusion_tpu.utils.logging import get_logger
+
+        cur_mu, cur_cell = self._widths
+        new_mu, new_cell = int(cur_mu * 1.5), self._next_pow2(cur_cell + 1)
+        staged = getattr(self, "_last_staged_dev", None)
+        if staged is not None:
+            g, c = self._probe_width_counts(*staged)
+            m = self._width_margin
+            new_cell = max(new_cell,
+                           self._next_pow2(int(np.max(np.asarray(g)) * m)))
+            new_mu = max(new_mu, -(-int(np.max(np.asarray(c)) * m)
+                                   // 4096) * 4096)
+        new_mu = min(-(-new_mu // 4096) * 4096, 8 * new_cell)
+        get_logger(__name__).warning(
+            f"table overflow {self._overflow_seen} with widths "
+            f"({cur_mu}, {cur_cell}) — widening to ({new_mu}, {new_cell}) "
+            f"and recompiling the fuse step")
+        self._widths = (new_mu, new_cell)
+        self._fuse_step = None
+        self._fuse_batch_steps = {}
+        self._points_fuse_step = None
+
+    @property
+    def overflow(self) -> int:
+        """Total voxels/cells dropped by the static compaction widths (0 =
+        every observation landed; surfaced at end of run by run_e2e)."""
+        return int(np.asarray(self.table.overflow))
 
     def _build_fuse_step(self, frame0=None):
         key = ("fuse1",) + self._fuse_statics_key(frame0)
@@ -332,10 +486,10 @@ class NeuralMap:
         # The TSDF prior stays a per-frame scan (dense elementwise update).
         vs = self.voxel_size
         min_pts = self.min_pts_in_grid
-        max_unique = int(getattr(m, "max_unique_per_frame", 1 << 17))
-        mu_cells = getattr(m, "max_unique_cells_per_frame", None)
-        mu_cells = int(mu_cells) if mu_cells else None
+        max_unique, mu_cells = self._width_values()
         mu_batch = getattr(m, "max_unique_per_batch", None)
+        if str(mu_batch).lower() == "auto":
+            mu_batch = None
         mu_batch = int(mu_batch) if mu_batch else None
         tsdf_vs = self.tsdf_voxel_size
         fuse_dtype = jnp.bfloat16 if str(getattr(
@@ -370,7 +524,8 @@ class NeuralMap:
                 max_unique=max_unique, max_unique_cells=mu_cells,
                 max_unique_batch=mu_batch, seg_kernel=seg_kernel,
                 sort_bf16=bool(getattr(m, "fuse_sort_bf16", False)),
-                sort1_gather=bool(getattr(m, "fuse_sort1_gather", False)))
+                sort1_gather=bool(getattr(m, "fuse_sort1_gather", False)),
+                front_chunks=int(getattr(m, "fuse_front_chunks", 1)))
 
             # TSDF prior stays a per-frame scan: the vmapped single-pass
             # variant (tsdf.integrate_batch) materializes K dense
@@ -446,6 +601,13 @@ class NeuralMap:
         k = len(frames)
         if k == 0:
             return
+        if self._fuse_devices > 1:
+            # multi-chip fuse paths are per-frame steps (the K-merge is a
+            # single-chip dispatch-amortization; sharded launches already
+            # amortize over the mesh)
+            for f in frames:
+                self.integrate(f)
+            return
         key = ("batch", k)
         if getattr(self, "_fuse_batch_steps", None) is None:
             self._fuse_batch_steps = {}
@@ -454,9 +616,6 @@ class NeuralMap:
         if not keep:
             return
         self._check_window_intr(keep)
-        if key not in self._fuse_batch_steps:
-            self._fuse_batch_steps[key] = self._build_fuse_batch_step(
-                k, keep[0])
         if staged is None or len(keep) != len(frames):
             staged = self._stack_batch(keep)
         if "raw" in staged:
@@ -470,9 +629,17 @@ class NeuralMap:
         T_wcs = jnp.asarray(staged["T_wc"])
         intrs = jnp.asarray(staged["intr"])
         rgbs = jnp.asarray(staged["rgb"]) if "rgb" in staged else None
+        if self._auto_widths:
+            if self._widths is None:
+                self._size_widths(depths, T_wcs, intrs)
+            self._last_staged_dev = (depths, T_wcs, intrs)
+        if key not in self._fuse_batch_steps:
+            self._fuse_batch_steps[key] = self._build_fuse_batch_step(
+                k, keep[0])
         self.table, self.tsdf_vol, stats = self._fuse_batch_steps[key](
             self.table, self.tsdf_vol, self.params, depths, T_wcs, intrs,
             self.bound_min, self.bound_max, rgbs)
+        self._note_overflow()
         # keep the DEVICE array: fetching it here would synchronize the
         # dispatch pipeline every launch (~12 ms/frame measured on the
         # tunneled runtime); consumers read ``stats`` lazily at end of run
@@ -511,18 +678,148 @@ class NeuralMap:
         if np.any(np.isnan(np.asarray(frame["T_wc"]))):
             return None
         self._check_window_intr([frame])
-        if self._fuse_step is None:
-            self._fuse_step = self._build_fuse_step(frame)
+        if self._fuse_devices > 1:
+            return self._integrate_points_sharded(frame)
         depth = jnp.asarray(frame["depth"], jnp.float32)
         T_wc = jnp.asarray(frame["T_wc"], jnp.float32)
         intr = jnp.asarray(frame["intr_mat"], jnp.float32)
+        if self._auto_widths:
+            if self._widths is None:
+                self._size_widths(depth[None], T_wc[None], intr[None])
+            self._last_staged_dev = (depth[None], T_wc[None], intr[None])
+        if self._fuse_step is None:
+            self._fuse_step = self._build_fuse_step(frame)
         rgb = jnp.asarray(self._frame_rgb(frame)) if self.fuse_color else None
         self.table, self.tsdf_vol, stats = self._fuse_step(
             self.table, self.tsdf_vol, self.params, depth, T_wc, intr,
             self.bound_min, self.bound_max, rgb)
+        self._note_overflow()
         self._stats.append(float(stats.n_avg_pts))
         self.frames.append({"depth": depth, "T_wc": T_wc, "intr": intr,
                             "frame_id": frame.get("frame_id")})
+
+    # ------------------------------------------------------------------
+    # multi-chip local fusion (trainer.fuse_devices > 1)
+    # ------------------------------------------------------------------
+
+    def _frame_points_jit(self, n_pad: int):
+        """Memoized jit: raw frame -> oriented world points, padded to a
+        multiple of the fuse mesh size (pad rows carry valid=False)."""
+        key = ("framepts", n_pad)
+
+        def build():
+            @jax.jit
+            def fn(depth, T_wc, intr):
+                pts, normals, valid = _frame_points(depth, T_wc, intr)
+                pad = n_pad - pts.shape[0]
+                if pad:
+                    pts = jnp.concatenate(
+                        [pts, jnp.zeros((pad, 3), pts.dtype)])
+                    normals = jnp.concatenate(
+                        [normals, jnp.zeros((pad, 3), normals.dtype)])
+                    valid = jnp.concatenate(
+                        [valid, jnp.zeros((pad,), valid.dtype)])
+                return pts, normals, valid
+
+            return fn
+
+        return _memo(key, build)
+
+    def _tsdf_prior_jit(self, frame0):
+        """Memoized jitted TSDF-prior update for the sharded fuse paths
+        (the single-chip path fuses it into _fuse_step_body)."""
+        tsdf_vs = self.tsdf_voxel_size
+        window = (None if getattr(self, "_window_disabled", False)
+                  else self._tsdf_window_for(frame0))
+        max_blocks = self._tsdf_max_blocks(frame0)
+        max_depth = self.ray_max_dist
+        key = ("tsdfprior", tsdf_vs, window, max_blocks, max_depth)
+
+        def build():
+            @jax.jit
+            def fn(vol, depth, T_wc, intr):
+                if max_blocks is not None:
+                    return tsdf.integrate_blocks(vol, depth, intr, T_wc,
+                                                 tsdf_vs, max_blocks,
+                                                 max_depth)
+                if window is not None:
+                    return tsdf.integrate_windowed(vol, depth, intr, T_wc,
+                                                   tsdf_vs, window, max_depth)
+                return tsdf.integrate(vol, depth, intr, T_wc, tsdf_vs)
+
+            return fn
+
+        return _memo(key, build)
+
+    def _integrate_points_sharded(self, frame):
+        """One frame through the points-sharded fuse step: DP (replicated
+        table, parallel/dp.py) or spatial (sharded table, parallel/spatial
+        .py) depending on model.table_layout — the multi-chip local-fusion
+        paths (VERDICT round-3 items 3 and 6)."""
+        from bnv_fusion_tpu.parallel import dp as _dp
+        from bnv_fusion_tpu.parallel import make_mesh
+        from bnv_fusion_tpu.parallel import spatial as _sp
+
+        depth = jnp.asarray(frame["depth"], jnp.float32)
+        T_wc = jnp.asarray(frame["T_wc"], jnp.float32)
+        intr = jnp.asarray(frame["intr_mat"], jnp.float32)
+        if self._auto_widths and self._widths is None:
+            self._size_widths(depth[None], T_wc[None], intr[None])
+        d = self._fuse_devices
+        n = int(np.prod(depth.shape))
+        n_pad = int(np.ceil(n / d) * d)
+        pts, normals, valid = self._frame_points_jit(n_pad)(depth, T_wc, intr)
+        if self._points_fuse_step is None:
+            max_unique, mu_cells = self._width_values()
+            spatial = self._spatial_mesh is not None
+            key = ("ptsfuse", spatial, d, self.voxel_size,
+                   self.min_pts_in_grid, max_unique, mu_cells,
+                   _params_fingerprint(self.params))
+            if spatial:
+                self._points_fuse_step = _memo(
+                    key, lambda: _sp.make_spatial_fuse_frame(
+                        self._spatial_mesh, self.params, self.voxel_size,
+                        self.min_pts_in_grid, max_unique=max_unique,
+                        max_unique_cells=mu_cells))
+            else:
+                self._points_fuse_step = _memo(
+                    key, lambda: _dp.make_sharded_fuse_frame(
+                        make_mesh(d), self.params, self.voxel_size,
+                        self.min_pts_in_grid, example_table=self.table,
+                        max_unique=max_unique, max_unique_cells=mu_cells))
+        self.table, stats = self._points_fuse_step(
+            self.table, pts, normals, valid, self.bound_min, self.bound_max)
+        self.tsdf_vol = self._tsdf_prior_jit(frame)(
+            self.tsdf_vol, depth, T_wc, intr)
+        self._pending_stats.append(stats.n_avg_pts)
+        self.frames.append({"depth": depth, "T_wc": T_wc, "intr": intr,
+                            "frame_id": frame.get("frame_id")})
+
+    def _spatial_view(self):
+        """A standard-semantics view of the spatially sharded table: the
+        slot map rewritten to GLOBAL value rows (shard * capacity_per_shard
+        + local slot), counters summed.  Decode/optimize run the exact
+        single-device code on this view — XLA's partitioner turns the row
+        gathers into cross-shard collectives."""
+        d = self._fuse_devices
+
+        def build():
+            @jax.jit
+            def view(table):
+                nv_shard = table.slot_map.shape[0] // d
+                cap_shard = table.features.shape[0] // d
+                shard = (jnp.arange(table.slot_map.shape[0], dtype=jnp.int32)
+                         // nv_shard)
+                gmap = jnp.where(table.slot_map >= 0,
+                                 table.slot_map + shard * cap_shard, -1)
+                return table.replace(
+                    slot_map=gmap,
+                    n_alloc=jnp.sum(table.n_alloc),
+                    overflow=jnp.sum(table.overflow))
+
+            return view
+
+        return _memo(("spview", d), build)(self.table)
 
     def _convert_raw_depth(self, raw, scale: float):
         """uint16 sensor depth -> metric f32 on device (same semantics as
@@ -569,16 +866,29 @@ class NeuralMap:
     # ------------------------------------------------------------------
 
     def optimize(self, n_iters: int, last_frame: int = -1,
-                 lr: float = 1e-3, frame_order: str = "random"):
+                 lr: float = 1e-3, frame_order: str | None = None):
         """Render-loss optimization of the latents
         (reference run_e2e.py:111-162).
 
         ``frame_order``: "random" draws frames i.i.d. from the pool (the
         online loop, reference run_e2e.py:116); "epoch" sweeps the pool
         sequentially, wrapping — the reference refiner's full per-epoch
-        pass over all frames (fusion_refiner.py:288-315)."""
+        pass over all frames (fusion_refiner.py:288-315).  ``None`` reads
+        ``trainer.optim_frame_order`` (default random).
+
+        ``trainer.optim_early_stop`` treats ``n_iters`` as a CEILING and
+        stops when the render loss plateaus: per launch group the mean
+        loss is fetched one launch LATE (the value is already computed, so
+        the fetch never stalls the dispatch pipeline) and the loop exits
+        after ``optim_es_patience`` consecutive groups without a relative
+        improvement of at least ``optim_es_rel`` over the best seen.  The
+        reference has no such control — its iteration count is the fixed
+        n_frames*skip(*2) formula (run_e2e.py:284-287)."""
         if not self.frames:
             return
+        if frame_order is None:
+            frame_order = str(getattr(self.config.trainer,
+                                      "optim_frame_order", "random"))
         n_dev = self._optimize_devices()
         if n_dev > 1:
             return self._optimize_sharded(n_iters, last_frame, lr,
@@ -617,12 +927,17 @@ class NeuralMap:
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
+        # spatial tables optimize through the global-row view (same code,
+        # XLA partitions the gathers); features/weights rows are global in
+        # both layouts so the write-back below is layout-agnostic
+        opt_table = (self._spatial_view() if self._spatial_mesh is not None
+                     else self.table)
         # NOTE: state.features aliases self.table.features, and the first
         # donated launch DELETES that buffer (the step only reads features
         # through state; the table arg's features leaf is pruned).  Nothing
         # may read self.table.features until the replace() at the end of
         # this method re-points it at the live state buffer.
-        state = optimize.init_optim_state(self._optim, self.table)
+        state = optimize.init_optim_state(self._optim, opt_table)
 
         lo = 0 if last_frame < 0 else max(0, last_frame)
         frame_pool = self.frames[lo:]
@@ -638,6 +953,11 @@ class NeuralMap:
 
         # group iterations per device launch (amortizes dispatch overhead)
         group = int(getattr(self.config.model, "optim_iters_per_launch", 4))
+        es_on = bool(getattr(self.config.trainer, "optim_early_stop", False))
+        es_rel = float(getattr(self.config.trainer, "optim_es_rel", 0.005))
+        es_patience = int(getattr(self.config.trainer, "optim_es_patience", 3))
+        es_pending: List[Any] = []   # (iters-at-launch, device losses)
+        es_best, es_stale = float("inf"), 0
         rng = np.random.RandomState(
             int(jax.random.randint(self._rng_key, (), 0, 2 ** 31 - 1)))
         self._rng_key, _ = jax.random.split(self._rng_key)
@@ -660,27 +980,41 @@ class NeuralMap:
             if k == group:
                 if error_guided:
                     state, losses, new_maps = self._optim_multi(
-                        state, self.table, depths, T_wcs, intrs,
+                        state, opt_table, depths, T_wcs, intrs,
                         self.bound_min, self.n_xyz, sdf_delta, keys, emaps)
                     for j, i in enumerate(fis):
                         self._error_maps[lo + i] = new_maps[j]
                 else:
                     state, losses = self._optim_multi(
-                        state, self.table, depths, T_wcs, intrs,
+                        state, opt_table, depths, T_wcs, intrs,
                         self.bound_min, self.n_xyz, sdf_delta, keys)
             else:  # remainder: per-iteration launches (no extra compiles)
                 for j in range(k):
                     if error_guided:
                         state, _, new_map = self._optim_step(
-                            state, self.table, depths[j], T_wcs[j], intrs[j],
+                            state, opt_table, depths[j], T_wcs[j], intrs[j],
                             self.bound_min, self.n_xyz, sdf_delta, keys[j],
                             emaps[j])
                         self._error_maps[lo + fis[j]] = new_map
                     else:
                         state, _ = self._optim_step(
-                            state, self.table, depths[j], T_wcs[j], intrs[j],
+                            state, opt_table, depths[j], T_wcs[j], intrs[j],
                             self.bound_min, self.n_xyz, sdf_delta, keys[j])
             done += k
+            if es_on and k == group:
+                es_pending.append(losses)
+                # fetch one launch late: the value is computed by the time
+                # the NEXT launch is dispatched, so np.asarray returns
+                # without draining the async queue
+                if len(es_pending) > 1:
+                    val = float(np.mean(np.asarray(es_pending.pop(0))))
+                    if val < es_best * (1.0 - es_rel):
+                        es_best, es_stale = val, 0
+                    else:
+                        es_stale += 1
+                    if es_stale >= es_patience:
+                        break
+        self.last_optimize_iters = done
         # write optimized features (and bumped weights) back into the map
         self.table = self.table.replace(features=state.features,
                                         weights=state.weights)
@@ -709,6 +1043,12 @@ class NeuralMap:
                 "error_guided_sampling is not supported with "
                 "trainer.optimize_devices > 1 (the per-frame error maps are "
                 "host state); set one or the other")
+        if self._spatial_mesh is not None:
+            raise ValueError(
+                "trainer.optimize_devices > 1 (ray DP) cannot be combined "
+                "with model.table_layout=spatial — the spatial layout "
+                "already owns the device mesh; spatial maps optimize "
+                "through the single-program path (XLA partitions it)")
         key_cfg = (n_dev, lr)
         if getattr(self, "_sharded_optim_key", None) != key_cfg:
             mesh = make_mesh(n_dev)
@@ -812,8 +1152,13 @@ class NeuralMap:
             t0 = time.time()
         # the gate below only needs keys/weights/hits — skip the [n, F]
         # feature fetch (the dominant tunnel transfer of this step)
-        keys, _, weights, hits, _ = tbl.active_entries(self.table,
-                                                       with_features=False)
+        if self._spatial_mesh is not None:
+            from bnv_fusion_tpu.parallel import spatial as _sp
+            keys, _, weights, hits = _sp.spatial_active_entries(
+                self.table, self._fuse_devices)
+        else:
+            keys, _, weights, hits, _ = tbl.active_entries(
+                self.table, with_features=False)
         if prof:
             print(f"[mesh] active_entries ({len(keys)}): "
                   f"{time.time()-t0:.2f}s", flush=True)
@@ -827,7 +1172,9 @@ class NeuralMap:
         active = keys[gate]
         if len(active) == 0:
             return None
-        decode_fn = partial(self._decode_jit, self.table.features, self.table,
+        dec_table = (self._spatial_view() if self._spatial_mesh is not None
+                     else self.table)
+        decode_fn = partial(self._decode_jit, dec_table.features, dec_table,
                             sdf_delta)
         mesh = mesh_mod.extract_mesh(
             decode_fn, active.astype(np.int32),
@@ -853,6 +1200,10 @@ class NeuralMap:
         """
         from bnv_fusion_tpu.incremental_mesh import IncrementalMesher
 
+        if self._spatial_mesh is not None:
+            raise NotImplementedError(
+                "incremental meshing tracks a host-side per-voxel cache and "
+                "is not wired for spatial tables — use extract_mesh")
         self._decode_jit = self._decode_for(use_delta)
         if getattr(self, "_inc_mesher", None) is None:
             self._inc_mesher = IncrementalMesher(
@@ -878,7 +1229,12 @@ class NeuralMap:
         return mesh if len(mesh.vertices) else None
 
     def save(self, path_prefix: str):
-        keys, feats, weights, hits, _ = tbl.active_entries(self.table)
+        if self._spatial_mesh is not None:
+            from bnv_fusion_tpu.parallel import spatial as _sp
+            keys, feats, weights, hits = _sp.spatial_active_entries(
+                self.table, self._fuse_devices)
+        else:
+            keys, feats, weights, hits, _ = tbl.active_entries(self.table)
         ckpt_io.save_state(path_prefix + "_sparse_volume.npz", {
             "active_coordinates": keys,
             "features": feats,

@@ -108,6 +108,15 @@ def main(argv=None):
                         "local_s": round(nmap.timer.times["local"], 2),
                         "global_s": round(nmap.timer.times["global"], 2)})
 
+    # surface width misfits instead of dropping voxels silently (the static
+    # compaction widths count overflow on device; ADVICE round-3 item 2)
+    nmap._note_overflow(flush=True)
+    if nmap.overflow > 0:
+        log.warning(
+            f"table overflow = {nmap.overflow}: the compaction widths "
+            f"(model.max_unique_per_frame / max_unique_cells_per_frame) "
+            f"dropped observations — widen them or set them to 'auto'")
+
     m = nmap.extract_mesh()
     if m is not None:
         mesh_mod.save_ply(os.path.join(working_dir, "before_optim.ply"), m)

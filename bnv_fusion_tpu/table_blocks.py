@@ -73,9 +73,13 @@ def create_block_table(n_xyz, capacity: int, feat_dims: int
     n_vox = int(n_xyz[0]) * int(n_xyz[1]) * int(n_xyz[2])
     if n_vox >= 2 ** 31:
         raise ValueError(
-            f"voxel grid {n_xyz.tolist()} has {n_vox} cells; flat ids exceed "
-            "int32 — shard the scene spatially (bnv_fusion_tpu.parallel."
-            "spatial) instead of a single-chip table")
+            f"voxel grid {n_xyz.tolist()} has {n_vox} cells; flat ids "
+            "exceed int32 — use a coarser voxel_size.  (For scenes that "
+            "fit int32 ids but not one chip's HBM, set "
+            "model.table_layout=spatial trainer.fuse_devices=N — NeuralMap "
+            "builds the region-sharded map, bnv_fusion_tpu.parallel."
+            "spatial; the flat-id ceiling itself is int32 in every "
+            "layout, see PARITY.md)")
     capacity = -(-capacity // BLOCK_SLOTS) * BLOCK_SLOTS
     nb = int(np.prod([-(-int(d) // B) for d in n_xyz]))
     return BlockIndexedTable(

@@ -50,7 +50,11 @@ def main():
     frames = [ds[i] for i in range(len(ds))]
     k = int(os.environ.get("BNV_BENCH_K", "16"))
     skip = int(getattr(cfg.dataset, "skip_images", 1)) or 1
-    n_iters = len(frames) * max(skip, 1) * 2  # run_e2e.py:284-287 (non-demo)
+    # trainer.global_steps > 0 overrides the reference formula (same routing
+    # as run_e2e.py); trainer.optim_early_stop makes it a ceiling
+    n_iters = int(getattr(cfg.trainer, "global_steps", 0) or 0)
+    if n_iters <= 0:
+        n_iters = len(frames) * max(skip, 1) * 2  # run_e2e.py:284-287
 
     def run(measure):
         nm = NeuralMap(ds.dimensions, cfg, params)
@@ -62,7 +66,7 @@ def main():
         _ = np.asarray(nm.table.weights[:1])
         t_local = time.time() - t0
         t1 = time.time()
-        nm.optimize(n_iters)
+        nm.optimize(n_iters, lr=float(cfg.optimizer.lr.initial))
         _ = np.asarray(nm.table.features[:1, :1])
         t_global = time.time() - t1
         t2 = time.time()
@@ -71,7 +75,8 @@ def main():
         total = time.time() - t0
         if measure:
             print(f"local {t_local:.2f}s  global {t_global:.2f}s "
-                  f"({n_iters} iters)  mesh {t_mesh:.2f}s "
+                  f"({getattr(nm, 'last_optimize_iters', n_iters)}/"
+                  f"{n_iters} iters)  mesh {t_mesh:.2f}s "
                   f"({len(mesh.vertices)} verts)  total {total:.2f}s",
                   file=sys.stderr)
         return total

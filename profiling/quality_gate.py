@@ -63,7 +63,11 @@ def main():
     frames = [ds[i] for i in range(len(ds))]
     k = int(os.environ.get("BNV_BENCH_K", "16"))
     skip = int(getattr(cfg.dataset, "skip_images", 1)) or 1
-    n_iters = len(frames) * max(skip, 1) * 2  # reference run_e2e.py:284-287
+    # trainer.global_steps > 0 overrides the reference formula (same routing
+    # as run_e2e.py), so BNV_QG_OVERRIDES can gate alternative schedules
+    n_iters = int(getattr(cfg.trainer, "global_steps", 0) or 0)
+    if n_iters <= 0:
+        n_iters = len(frames) * max(skip, 1) * 2  # run_e2e.py:284-287
 
     nm = NeuralMap(ds.dimensions, cfg, params)
     nm.integrate_batches([frames[i:i + k]
@@ -73,7 +77,7 @@ def main():
         for f in frames[len(frames) - tail:]:
             nm.integrate(f)
     overflow = int(np.asarray(nm.table.overflow))
-    nm.optimize(n_iters)
+    nm.optimize(n_iters, lr=float(cfg.optimizer.lr.initial))
     mesh = nm.extract_mesh(use_delta=True)
 
     pred_pts = sample_surface(mesh, 100000, seed=0)
@@ -89,6 +93,7 @@ def main():
         "r_1cm": round(r10["recall"], 4),
         "overflow": overflow,
         "k": k,
+        "iters_run": int(getattr(nm, "last_optimize_iters", n_iters)),
         "overrides": os.environ.get("BNV_QG_OVERRIDES", ""),
     }))
     return 0
