@@ -301,29 +301,50 @@ def build_sample_lattice(active_coords: np.ndarray, scale: int = 2,
     return points, corner_idx[hit_all], cells
 
 
+def cell_owner_voxel(cells: np.ndarray, scale: int = 2) -> np.ndarray:
+    """Voxel coordinate that generated each lattice cell.
+
+    The ±half-voxel sample block of voxel ``v`` spans cell origins
+    ``[v*scale - scale//2, v*scale + scale//2)`` per axis — disjoint between
+    neighboring voxels, so every cell is owned by exactly one active voxel:
+    ``owner = floor((origin + scale//2) / scale)``.  This makes a lattice
+    built over a SUPERSET of the active voxels exactly filterable to any
+    subset (pipeline's optimize-overlapped mesh prefetch)."""
+    return np.floor_divide(cells + (scale // 2), scale)
+
+
 def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
                  voxel_size: float, batch_size: int = 262144,
                  merge_tol_factor: float = 0.25,
                  use_native: bool = True,
                  mask_sentinel: bool = False,
-                 lattice_scale: int = 2) -> Optional[Mesh]:
+                 lattice_scale: int = 2,
+                 lattice=None) -> Optional[Mesh]:
     """Decode the SDF on the half lattice and run marching tetrahedra.
 
     ``decode_fn(coords_f32 [B, 3]) -> sdf [B]`` evaluates the sparse volume at
     *voxel* coordinates (is_coords=True path of fusion.decode_points); it is
     called with fixed-size padded batches so it can be a jitted closure.
 
+    ``lattice`` = a prebuilt ``(points, corner_idx, cells)`` triple (already
+    filtered to the active set) — skips build_sample_lattice; the caller
+    overlapped the build with other work (pipeline mesh prefetch).
+
     Surface extraction runs in the native C++ component when available (one
     pass with fused vertex welding); the vectorized numpy path is the
     fallback.
     """
-    if len(active_coords) == 0:
+    if lattice is None and len(active_coords) == 0:
         return None
     import os as _os
     import time as _time
     prof = _os.environ.get("BNV_MESH_PROFILE") in ("1", "2")
     t0 = _time.time()
-    if _os.environ.get("BNV_MESH_PROFILE") == "2":
+    if lattice is not None:
+        points, corner_idx, cells = lattice
+        if len(cells) == 0:
+            return None
+    elif _os.environ.get("BNV_MESH_PROFILE") == "2":
         import cProfile
         import pstats
         import io as _io
@@ -339,7 +360,7 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
         points, corner_idx, cells = build_sample_lattice(
             active_coords, lattice_scale, use_native=use_native)
     if prof:
-        print(f"[mesh] lattice {len(active_coords)} voxels -> "
+        print(f"[mesh] lattice -> "
               f"{len(points)} pts, {len(cells)} cells: "
               f"{_time.time()-t0:.2f}s", flush=True)
         t0 = _time.time()

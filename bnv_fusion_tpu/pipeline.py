@@ -196,6 +196,10 @@ class NeuralMap:
         self._overflow_lag: List[Any] = []
 
         self.frames: List[Dict[str, Any]] = []
+        # fuse-epoch token: bumped on every integrate; the optimize-phase
+        # mesh-lattice prefetch is only valid for the epoch it snapshotted
+        self._fuse_epoch = 0
+        self._mesh_prefetch = None
         self._fuse_step = None
         self._optim_step = None
         self._optim = None
@@ -644,6 +648,7 @@ class NeuralMap:
         # dispatch pipeline every launch (~12 ms/frame measured on the
         # tunneled runtime); consumers read ``stats`` lazily at end of run
         self._pending_stats.append(stats.n_avg_pts)
+        self._fuse_epoch += 1
         for f, d, t, i in zip(keep, depths, T_wcs, intrs):
             self.frames.append({"depth": d, "T_wc": t, "intr": i,
                                 "frame_id": f.get("frame_id")})
@@ -695,6 +700,7 @@ class NeuralMap:
             self.bound_min, self.bound_max, rgb)
         self._note_overflow()
         self._stats.append(float(stats.n_avg_pts))
+        self._fuse_epoch += 1
         self.frames.append({"depth": depth, "T_wc": T_wc, "intr": intr,
                             "frame_id": frame.get("frame_id")})
 
@@ -792,6 +798,7 @@ class NeuralMap:
         self.tsdf_vol = self._tsdf_prior_jit(frame)(
             self.tsdf_vol, depth, T_wc, intr)
         self._pending_stats.append(stats.n_avg_pts)
+        self._fuse_epoch += 1
         self.frames.append({"depth": depth, "T_wc": T_wc, "intr": intr,
                             "frame_id": frame.get("frame_id")})
 
@@ -889,6 +896,10 @@ class NeuralMap:
         if frame_order is None:
             frame_order = str(getattr(self.config.trainer,
                                       "optim_frame_order", "random"))
+        # overlap the mesh sample-lattice build (pure host work on the
+        # immutable key set) with the optimize launches — the final
+        # extract_mesh consumes it and skips its longest serial stage
+        self.prefetch_mesh_lattice()
         n_dev = self._optimize_devices()
         if n_dev > 1:
             return self._optimize_sharded(n_iters, last_frame, lr,
@@ -1091,12 +1102,91 @@ class NeuralMap:
                     state, self.table, f["depth"], f["T_wc"], f["intr"],
                     self.bound_min, self.n_xyz, sdf_delta, keys[j])
             done += k
+        self.last_optimize_iters = done
         self.table = self.table.replace(features=state.features,
                                         weights=state.weights)
 
     # ------------------------------------------------------------------
     # meshing / io
     # ------------------------------------------------------------------
+
+    def prefetch_mesh_lattice(self):
+        """Build the mesh sample lattice in a background thread, overlapped
+        with the optimize phase (measured 1.4 s of single-core host work at
+        the bench operating point — the mesh phase's longest serial stage).
+
+        Exact semantics: the lattice is built over ALL allocated voxels (the
+        key set is immutable during optimize — optimize only writes
+        features/weights), and extract_mesh filters its CELLS to the exact
+        post-optimize gate.  Each lattice cell is owned by exactly one
+        voxel (mesh.cell_owner_voxel), so filtering a superset lattice
+        yields the identical cell set, corner positions and SDF values the
+        direct build would produce — the mesh is bit-identical.
+
+        Dense slot-map tables only (stable slot order; keys live in
+        slot_flat, which optimize never donates).  Other layouts fall back
+        to the in-line build.  Called automatically by optimize(); a no-op
+        when a prefetch for the current fuse epoch already exists or
+        model.mesh_prefetch=false."""
+        m = self.config.model
+        if not bool(getattr(m, "mesh_prefetch", True)):
+            return
+        if self._spatial_mesh is not None or \
+                not hasattr(self.table, "slot_flat"):
+            return
+        scale = int(getattr(m, "mesh_lattice_scale", 2))
+        pf = self._mesh_prefetch
+        if pf is not None and pf["epoch"] == self._fuse_epoch and \
+                pf["scale"] == scale:
+            return
+        import threading
+
+        n = int(self.table.n_alloc)
+        if n == 0:
+            self._mesh_prefetch = None
+            return
+        slot_flat = self.table.slot_flat  # not donated; fetch in-thread
+        n_xyz = np.asarray(self.n_xyz, np.int64)
+        box: Dict[str, Any] = {"epoch": self._fuse_epoch, "scale": scale,
+                               "n": n}
+
+        def work():
+            try:
+                flat = np.asarray(slot_flat[:n], np.int64)
+                keys = np.stack([flat // (n_xyz[1] * n_xyz[2]),
+                                 (flat // n_xyz[2]) % n_xyz[1],
+                                 flat % n_xyz[2]], axis=-1).astype(np.int32)
+                box["keys"] = keys
+                lattice = mesh_mod.build_sample_lattice(keys, scale)
+                # map every cell to its owner voxel's ROW, so the exact
+                # post-optimize gate filters cells with one O(M) gather
+                owner = mesh_mod.cell_owner_voxel(lattice[2], scale)
+                kk = mesh_mod.coord_key3(keys.astype(np.int64))
+                order = np.argsort(kk)
+                pos = np.searchsorted(kk[order],
+                                      mesh_mod.coord_key3(owner))
+                box["owner_rows"] = order[np.clip(pos, 0, n - 1)]
+                box["lattice"] = lattice
+            except Exception as e:  # fall back to the in-line build
+                box["error"] = e
+
+        t = threading.Thread(target=work, daemon=True)
+        box["thread"] = t
+        t.start()
+        self._mesh_prefetch = box
+
+    def _prefetched_lattice(self):
+        """(points, corner_idx, cells, keys) of a valid prefetch, or None."""
+        box = self._mesh_prefetch
+        if box is None or box["epoch"] != self._fuse_epoch:
+            return None
+        if box["scale"] != int(getattr(self.config.model,
+                                       "mesh_lattice_scale", 2)):
+            return None
+        box["thread"].join()
+        if "lattice" not in box or int(self.table.n_alloc) != box["n"]:
+            return None
+        return box
 
     def _build_decode(self, use_delta: bool):
         vs = self.voxel_size
@@ -1150,38 +1240,69 @@ class NeuralMap:
             print(f"[mesh] decode-jit+delta: {time.time()-t0:.2f}s",
                   flush=True)
             t0 = time.time()
-        # the gate below only needs keys/weights/hits — skip the [n, F]
-        # feature fetch (the dominant tunnel transfer of this step)
-        if self._spatial_mesh is not None:
-            from bnv_fusion_tpu.parallel import spatial as _sp
-            keys, _, weights, hits = _sp.spatial_active_entries(
-                self.table, self._fuse_devices)
+        # optimize-overlapped lattice (prefetch_mesh_lattice): filter its
+        # cells with the exact post-optimize gate — the resulting mesh is
+        # identical to the in-line build (cells are uniquely owned, corner
+        # positions/SDF values are position-deterministic)
+        box = (None if self._spatial_mesh is not None
+               else self._prefetched_lattice())
+        require_obs = bool(getattr(self.config.model,
+                                   "mesh_require_observation", False))
+        lattice = None
+        if box is not None:
+            n = box["n"]
+            weights = np.asarray(self.table.weights[:n])
+            hits = np.asarray(self.table.num_hits[:n])
+            gate = weights >= self.min_pts_in_grid
+            if require_obs:
+                gate &= hits > 0
+            if not gate.any():
+                return None
+            points, corner_idx, cells = box["lattice"]
+            sel = gate[box["owner_rows"]]
+            lattice = (points, corner_idx[sel], cells[sel])
+            active = None
+            if prof:
+                print(f"[mesh] prefetched lattice: gate {int(gate.sum())} of "
+                      f"{n} voxels -> {int(sel.sum())} cells: "
+                      f"{time.time()-t0:.2f}s", flush=True)
+                t0 = time.time()
         else:
-            keys, _, weights, hits, _ = tbl.active_entries(
-                self.table, with_features=False)
-        if prof:
-            print(f"[mesh] active_entries ({len(keys)}): "
-                  f"{time.time()-t0:.2f}s", flush=True)
-        # only voxels that have accumulated real fusion weight carry surface
-        gate = weights >= self.min_pts_in_grid
-        if bool(getattr(self.config.model, "mesh_require_observation", False)):
-            # exclude voxels whose weight comes ONLY from count_optim bumps
-            # (never had a >= min_pts fused observation): their latents are
-            # trained from render loss alone and can hallucinate surface
-            gate &= hits > 0
-        active = keys[gate]
-        if len(active) == 0:
-            return None
+            # the gate below only needs keys/weights/hits — skip the [n, F]
+            # feature fetch (the dominant tunnel transfer of this step)
+            if self._spatial_mesh is not None:
+                from bnv_fusion_tpu.parallel import spatial as _sp
+                keys, _, weights, hits = _sp.spatial_active_entries(
+                    self.table, self._fuse_devices)
+            else:
+                keys, _, weights, hits, _ = tbl.active_entries(
+                    self.table, with_features=False)
+            if prof:
+                print(f"[mesh] active_entries ({len(keys)}): "
+                      f"{time.time()-t0:.2f}s", flush=True)
+            # only voxels that accumulated real fusion weight carry surface
+            gate = weights >= self.min_pts_in_grid
+            if require_obs:
+                # exclude voxels whose weight comes ONLY from count_optim
+                # bumps (never had a >= min_pts fused observation): their
+                # latents are trained from render loss alone and can
+                # hallucinate surface
+                gate &= hits > 0
+            active = keys[gate]
+            if len(active) == 0:
+                return None
+            active = active.astype(np.int32)
         dec_table = (self._spatial_view() if self._spatial_mesh is not None
                      else self.table)
         decode_fn = partial(self._decode_jit, dec_table.features, dec_table,
                             sdf_delta)
         mesh = mesh_mod.extract_mesh(
-            decode_fn, active.astype(np.int32),
+            decode_fn, active,
             np.asarray(self.bound_min), self.voxel_size,
             batch_size=batch_size, mask_sentinel=True,
             lattice_scale=int(getattr(self.config.model,
-                                      "mesh_lattice_scale", 2)))
+                                      "mesh_lattice_scale", 2)),
+            lattice=lattice)
         if mesh is not None and self.fuse_color and len(mesh.vertices):
             colors = tsdf.sample_color(
                 tsdf.as_dense(self.tsdf_vol), jnp.asarray(mesh.vertices),
