@@ -36,7 +36,11 @@ def main():
     from bnv_fusion_tpu.pipeline import NeuralMap
 
     # the canonical bench operating point (keep in sync with bench.py —
-    # the quality gate validates exactly this configuration)
+    # the quality gate validates exactly this configuration).  The optimize
+    # schedule is the round-4 tuned one (48 iters, epoch frame order,
+    # lr 2e-3): quality-gated at F 0.9866 @2.5cm / 0.9253 @1cm vs the
+    # reference formula's 0.9935 / 0.9044 — inside the 1% parity bar at
+    # 2.5 cm and +2.3% BETTER at 1 cm (RESULTS.md round-4 sweep).
     cfg = load_config([
         "model.voxel_size=0.01",
         "dataset.num_images=48",
@@ -44,6 +48,9 @@ def main():
         "dataset.stage_raw_depth=true",
         "model.tsdf_every=4",
         "model.max_unique_per_frame=116736",
+        "trainer.global_steps=48",
+        "trainer.optim_frame_order=epoch",
+        "optimizer.lr.initial=0.002",
     ] + os.environ.get("BNV_BENCH_OVERRIDES", "").split())
     params = load_pretrained("/root/reference/pretrained/pointnet_tcnn.ckpt")
     ds = get_dataset(cfg, "val")
@@ -90,8 +97,8 @@ def main():
     fps = len(frames) / total
     print(json.dumps({
         "metric": "END-TO-END fps @ voxel 0.01, 480x640, 48 frames (local "
-                  "fusion + reference-formula global optimization + final "
-                  "mesh; vs reference's 2-5 fps end-to-end claim)",
+                  "fusion + quality-gated 48-iter global optimization + "
+                  "final mesh; vs reference's 2-5 fps end-to-end claim)",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 5.0, 3),
