@@ -79,7 +79,8 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
                        neighbor_kernel: int = 3,
                        error_guided: bool = False,
                        decode_layout: str = "rows",
-                       parallel_chunks: bool = False):
+                       parallel_chunks: bool = False,
+                       n_fine: int = 0, n_coarse: int = 0):
     """Build (optimizer, jitted step).
 
     step(state, table, frame depth/T_wc/intr, bound_min, n_xyz, sdf_delta,
@@ -140,7 +141,8 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
             # scatter-add applies all chunks' cotangents after the scan)
             prep, pts, cam_loc = render.prepare_render(
                 t, chunk, k, bound_min, voxel_size, truncated_units,
-                truncated_dist, ray_max_dist, sdf_delta, n_xyz)
+                truncated_dist, ray_max_dist, sdf_delta, n_xyz,
+                n_fine=n_fine, n_coarse=n_coarse)
             gfeats = state.features[prep.slots]
 
             def tail(gf):

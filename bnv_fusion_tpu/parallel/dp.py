@@ -143,7 +143,8 @@ def make_sharded_optimize_iter(mesh: Mesh, params: Dict[str, Any],
                                example_table: tbl.AnyTable,
                                lr: float = 1e-3,
                                neighbor_kernel: int = 3,
-                               axis: str = "dp"):
+                               axis: str = "dp",
+                               n_fine: int = 0, n_coarse: int = 0):
     """Ray-DP version of optimize.make_optimize_step's per-frame iteration —
     the drop-in sharded step NeuralMap.optimize uses when
     ``trainer.optimize_devices`` > 1 (VERDICT round-2 item 2).
@@ -171,8 +172,8 @@ def make_sharded_optimize_iter(mesh: Mesh, params: Dict[str, Any],
             f"train_ray_splits={train_ray_splits} must divide over the "
             f"{n_dev}-device mesh")
     opt = optax.adam(lr)
-    n_fine = truncated_units * 2
-    n_coarse = int(ray_max_dist * 5)
+    n_fine = n_fine or truncated_units * 2
+    n_coarse = n_coarse or int(ray_max_dist * 5)
 
     def local_fn(features, weights, opt_state, table, chunk_arrays, ts_f,
                  ts_c, T_wc, intr, bound_min, n_xyz, sdf_delta):
@@ -188,7 +189,7 @@ def make_sharded_optimize_iter(mesh: Mesh, params: Dict[str, Any],
             prep, pts, cam_loc = render.prepare_render(
                 t, chunk, None, bound_min, voxel_size, truncated_units,
                 truncated_dist, ray_max_dist, sdf_delta, n_xyz,
-                ts=(tf, tc))
+                ts=(tf, tc), n_fine=n_fine, n_coarse=n_coarse)
             gfeats = features[prep.slots]
 
             def tail(gf):

@@ -928,7 +928,13 @@ class NeuralMap:
                 decode_layout=str(getattr(self.config.model,
                                           "decode_layout", "rows")),
                 parallel_chunks=bool(getattr(
-                    self.config.model, "parallel_ray_chunks", False)))
+                    self.config.model, "parallel_ray_chunks", False)),
+                # 0 = the reference sample-count formula (fine=2*units,
+                # coarse=5/m); nonzero overrides are a gated speed knob
+                n_fine=int(getattr(self.config.model.ray_tracer,
+                                   "n_fine", 0) or 0),
+                n_coarse=int(getattr(self.config.model.ray_tracer,
+                                     "n_coarse", 0) or 0))
             # the step closures capture self.params -> key by identity
             key = (("optim", _params_fingerprint(self.params))
                    + tuple(sorted(kwargs.items())))
@@ -1071,7 +1077,11 @@ class NeuralMap:
                     train_ray_splits=self.train_ray_splits,
                     example_table=self.table, lr=lr,
                     neighbor_kernel=int(getattr(self.config.model,
-                                                "neighbor_kernel", 3)))
+                                                "neighbor_kernel", 3)),
+                    n_fine=int(getattr(self.config.model.ray_tracer,
+                                       "n_fine", 0) or 0),
+                    n_coarse=int(getattr(self.config.model.ray_tracer,
+                                         "n_coarse", 0) or 0))
             self._sharded_optim_key = key_cfg
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,

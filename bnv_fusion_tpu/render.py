@@ -151,17 +151,22 @@ def render_rays_sdf(features: jnp.ndarray, table: tbl.AnyTable,
                     min_pts_in_grid: int, truncated_units: int,
                     truncated_dist: float, ray_max_dist: float,
                     sdf_delta: jnp.ndarray | None, n_xyz: jnp.ndarray,
-                    compute_dtype=jnp.float32, decode_layout: str = "rows"):
+                    compute_dtype=jnp.float32, decode_layout: str = "rows",
+                    n_fine: int = 0, n_coarse: int = 0):
     """Sample rays and decode SDF through the sparse volume.
 
     Reference render_with_rays (render_utils.py:461-505).  Returns
     (pred_sdf [N, S], pts [N, S, 3], cam_loc [3], touched corner coords for
     the count_optim weight bump).
+
+    ``n_fine`` / ``n_coarse`` override the reference's sample-count formula
+    (fine = truncated_units*2, coarse = ray_max_dist*5); 0 keeps it.
     """
     ray_dirs, cam_loc = geometry.get_camera_rays(rays.uv, rays.T_wc, rays.intr)
     gt_depths = jnp.linalg.norm(rays.gt_pts - cam_loc[None, :], axis=-1)
     pts, _ = hierarchical_sampling(
-        key, truncated_units * 2, int(ray_max_dist * 5), gt_depths,
+        key, n_fine or truncated_units * 2,
+        n_coarse or int(ray_max_dist * 5), gt_depths,
         rays.gt_pts, ray_dirs, cam_loc, offset_distance=truncated_dist)
 
     n, s = pts.shape[:2]
@@ -179,16 +184,18 @@ def prepare_render(table, rays: Rays, key, bound_min: jnp.ndarray,
                     voxel_size: float, truncated_units: int,
                     truncated_dist: float, ray_max_dist: float,
                     sdf_delta: jnp.ndarray | None, n_xyz: jnp.ndarray,
-                    ts=None):
+                    ts=None, n_fine: int = 0, n_coarse: int = 0):
     """Feature-independent half of render_rays_sdf: sampling + gather prep.
 
     Pairs with eval_render_loss: differentiating only the feature-dependent
-    tail yields SPARSE cotangent rows (see fusion.decode_prepare)."""
+    tail yields SPARSE cotangent rows (see fusion.decode_prepare).
+    ``n_fine`` / ``n_coarse`` as in render_rays_sdf (0 = reference formula)."""
     ray_dirs, cam_loc = geometry.get_camera_rays(rays.uv, rays.T_wc,
                                                  rays.intr)
     gt_depths = jnp.linalg.norm(rays.gt_pts - cam_loc[None, :], axis=-1)
     pts, _ = hierarchical_sampling(
-        key, truncated_units * 2, int(ray_max_dist * 5), gt_depths,
+        key, n_fine or truncated_units * 2,
+        n_coarse or int(ray_max_dist * 5), gt_depths,
         rays.gt_pts, ray_dirs, cam_loc, offset_distance=truncated_dist,
         ts=ts)
     n, s = pts.shape[:2]

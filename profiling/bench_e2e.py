@@ -96,9 +96,10 @@ def main():
     total = min(run(measure=True) for _ in range(n_passes))
     fps = len(frames) / total
     print(json.dumps({
-        "metric": "END-TO-END fps @ voxel 0.01, 480x640, 48 frames (local "
-                  "fusion + quality-gated 48-iter global optimization + "
-                  "final mesh; vs reference's 2-5 fps end-to-end claim)",
+        "metric": f"END-TO-END fps @ voxel {float(cfg.model.voxel_size):g}, "
+                  "480x640, 48 frames (local fusion + quality-gated "
+                  f"{n_iters}-iter global optimization + final mesh; vs "
+                  "reference's 2-5 fps end-to-end claim)",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 5.0, 3),

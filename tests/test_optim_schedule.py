@@ -59,6 +59,41 @@ def test_early_stop_off_runs_full_budget(params):
     assert nm.last_optimize_iters == 12
 
 
+def test_sample_count_override(params):
+    """model.ray_tracer.n_fine/n_coarse override the reference's per-ray
+    sample formula (fine=2*truncated_units, coarse=5*ray_max_dist) in the
+    optimize loop; 0 keeps the formula.  The override must run end-to-end
+    through NeuralMap.optimize and actually change the sample tensor."""
+    cfg = load_config(BASE + ["model.ray_tracer.n_fine=6",
+                              "model.ray_tracer.n_coarse=4"])
+    nm = NeuralMap(np.array([2.0, 2.0, 2.0], np.float32), cfg, params)
+    nm.integrate(_frame())
+    nm.optimize(8, lr=1e-3)
+    assert nm.last_optimize_iters == 8
+
+    # the sampling itself: counts flow through hierarchical_sampling
+    from bnv_fusion_tpu import render
+    pts, dists = render.hierarchical_sampling(
+        jax.random.key(0), 6, 4,
+        jnp.ones((5,)), jnp.zeros((5, 3)) + jnp.array([0, 0, 1.0]),
+        jnp.tile(jnp.array([[0, 0, 1.0]]), (5, 1)), jnp.zeros((3,)),
+        offset_distance=0.25)
+    assert pts.shape == (5, 10, 3)
+
+
+def test_sample_count_override_dp_path(params):
+    """The ray-DP sharded optimize step draws jitter at the overridden
+    widths and must forward them into prepare_render (regression: a
+    mismatched ts width fails shape checking)."""
+    cfg = load_config(BASE + ["model.ray_tracer.n_fine=6",
+                              "model.ray_tracer.n_coarse=4",
+                              "trainer.optimize_devices=2"])
+    nm = NeuralMap(np.array([2.0, 2.0, 2.0], np.float32), cfg, params)
+    nm.integrate(_frame())
+    nm.optimize(4, lr=1e-3)
+    assert nm.last_optimize_iters == 4
+
+
 def test_early_stop_keeps_improving_runs_on(params):
     """With a real lr the loss falls early on — the monitor must not stop
     while improvement continues (relative threshold 0.5% default)."""
