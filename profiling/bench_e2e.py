@@ -38,9 +38,12 @@ def main():
     # the canonical bench operating point (keep in sync with bench.py —
     # the quality gate validates exactly this configuration).  The optimize
     # schedule is the round-4 tuned one (48 iters, epoch frame order,
-    # lr 2e-3): quality-gated at F 0.9866 @2.5cm / 0.9253 @1cm vs the
-    # reference formula's 0.9935 / 0.9044 — inside the 1% parity bar at
-    # 2.5 cm and +2.3% BETTER at 1 cm (RESULTS.md round-4 sweep).
+    # lr 2e-3, 12 fine + 4 coarse samples/ray): quality-gated at
+    # F 0.9846 @2.5cm / 0.9273 @1cm vs the reference formula's
+    # 0.9935 / 0.9044 — inside the 1% parity bar at 2.5 cm and +2.5%
+    # BETTER at 1 cm (RESULTS.md round-4 sweeps).  The sample-count knee:
+    # n_fine=12 passes, n_fine=10 fails by 0.0001 at either coarse split;
+    # coarse cuts 15 -> 4 are free (fine band supervision is load-bearing).
     cfg = load_config([
         "model.voxel_size=0.01",
         "dataset.num_images=48",
@@ -51,6 +54,8 @@ def main():
         "trainer.global_steps=48",
         "trainer.optim_frame_order=epoch",
         "optimizer.lr.initial=0.002",
+        "model.ray_tracer.n_fine=12",
+        "model.ray_tracer.n_coarse=4",
     ] + os.environ.get("BNV_BENCH_OVERRIDES", "").split())
     params = load_pretrained("/root/reference/pretrained/pointnet_tcnn.ckpt")
     ds = get_dataset(cfg, "val")
