@@ -378,7 +378,9 @@ def extract_mesh(decode_fn, active_coords: np.ndarray, min_coords: np.ndarray,
         pending.append((s, e, decode_fn(jnp.asarray(batch))))
     sdf = np.empty((len(points),), np.float32)
     for s, e, out in pending:
-        sdf[s:e] = np.asarray(out)[: e - s]
+        # decode_fn may return a reduced-precision fetch dtype (float16 /
+        # bfloat16 — half the tunnel bytes); widen on host
+        sdf[s:e] = np.asarray(out)[: e - s].astype(np.float32, copy=False)
     if prof:
         print(f"[mesh] decode {len(pending)} batches: "
               f"{_time.time()-t0:.2f}s", flush=True)

@@ -1207,9 +1207,20 @@ class NeuralMap:
                      bool(getattr(self.config.model,
                                   "use_fused_decode_kernel", False)))
 
-        layout = str(getattr(self.config.model, "decode_layout", "rows"))
+        # mesh decode is forward-only: the feature-major layout's optimize-
+        # loop loss (backward relayouts, RESULTS.md round 2) doesn't apply,
+        # so it gets its own knob (default follows decode_layout)
+        layout = str(getattr(self.config.model, "mesh_decode_layout", None)
+                     or getattr(self.config.model, "decode_layout", "rows")
+                     or "rows")
+        # fetch dtype for the mesh-lattice SDF: the decoded array rides the
+        # TPU tunnel to the host mesher, and the transfer scales with bytes
+        # (RESULTS.md round 4) — float16 halves it (rel. step 5e-4, far
+        # below the marching-tets interpolation tolerance); float32 = exact
+        fetch_dt = str(getattr(self.config.model,
+                               "mesh_fetch_dtype", "float32"))
         # the closure captures params, bound_min and n_xyz as constants
-        key = ("decode", use_delta, use_fused, layout, vs, min_pts,
+        key = ("decode", use_delta, use_fused, layout, vs, min_pts, fetch_dt,
                _params_fingerprint(self.params),
                np.asarray(self.bound_min).tobytes(),
                np.asarray(self.n_xyz).tobytes())
@@ -1218,13 +1229,16 @@ class NeuralMap:
         def build():
             @jax.jit
             def decode(features, table, sdf_delta, coords):
-                return fusion.decode_points(
+                out = fusion.decode_points(
                     features, table, params, coords,
                     bound_min, vs, min_pts,
                     sdf_delta=sdf_delta if use_delta else None,
                     n_xyz=n_xyz, is_coords=True,
                     use_fused_kernel=use_fused,
                     masked_fill=float("nan"), layout=layout)
+                if fetch_dt != "float32":
+                    out = out.astype(jnp.dtype(fetch_dt))
+                return out
 
             return decode
 
@@ -1239,7 +1253,13 @@ class NeuralMap:
         return self._decode_cache[use_delta]
 
     def extract_mesh(self, use_delta: bool = True,
-                     batch_size: int = 1 << 18) -> Optional[mesh_mod.Mesh]:
+                     batch_size: int | None = None) -> Optional[mesh_mod.Mesh]:
+        if batch_size is None:
+            # bigger batches = fewer decode launches; the tunneled runtime
+            # pays ~64 ms dispatch per launch, so 9 launches of 2^18 cost
+            # ~0.6 s of pure overhead at the bench point (RESULTS.md)
+            batch_size = int(getattr(self.config.model,
+                                     "mesh_decode_batch", 1 << 18))
         prof = os.environ.get("BNV_MESH_PROFILE") in ("1", "2")
         t0 = time.time()
         self._decode_jit = self._decode_for(use_delta)
