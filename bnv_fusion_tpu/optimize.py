@@ -104,7 +104,8 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
              depth: jnp.ndarray, T_wc: jnp.ndarray, intr: jnp.ndarray,
              bound_min: jnp.ndarray, n_xyz: jnp.ndarray,
              sdf_delta: jnp.ndarray | None, key,
-             error_map: jnp.ndarray | None = None):
+             error_map: jnp.ndarray | None = None,
+             lr_scale: jnp.ndarray | float = 1.0):
         k_rays, k_chunks = jax.random.split(key)
         pixel_ids = None
         if error_guided:
@@ -192,6 +193,10 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
             gidx.reshape(-1)].add(g_rows.reshape(-1, fdim), mode="drop")
 
         updates, opt_state = opt.update(grads, state.opt_state, state.features)
+        # per-iteration lr schedule hook: Adam's direction is lr-independent,
+        # so scaling the update equals running adam(lr * lr_scale) exactly
+        # (trainer.optim_lr_schedule; scale 1.0 multiplies exactly to u)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         features = optax.apply_updates(state.features, updates)
         new_state = OptimState(features=features, weights=weights,
                                opt_state=opt_state)
@@ -206,23 +211,29 @@ def make_optimize_step(params: Dict[str, Any], voxel_size: float,
                    depths: jnp.ndarray, T_wcs: jnp.ndarray,
                    intrs: jnp.ndarray, bound_min: jnp.ndarray,
                    n_xyz: jnp.ndarray, sdf_delta: jnp.ndarray | None, keys,
-                   error_maps: jnp.ndarray | None = None):
+                   error_maps: jnp.ndarray | None = None,
+                   lr_scales: jnp.ndarray | None = None):
         """Several Adam iterations (one random frame each) in ONE device
         launch — amortizes the tunneled runtime's per-dispatch overhead
         (~64 ms) over the iterations.  Semantics identical to calling
-        ``step`` sequentially."""
+        ``step`` sequentially.  ``lr_scales`` (one scalar per iteration)
+        implements trainer.optim_lr_schedule; None = constant lr."""
+        if lr_scales is None:
+            lr_scales = jnp.ones((depths.shape[0],), jnp.float32)
+
         def body(st, inp):
             if error_guided:
-                depth, T_wc, intr, key, emap = inp
+                depth, T_wc, intr, key, ls, emap = inp
                 st, loss, emap = step(st, table, depth, T_wc, intr, bound_min,
-                                      n_xyz, sdf_delta, key, emap)
+                                      n_xyz, sdf_delta, key, emap,
+                                      lr_scale=ls)
                 return st, (loss, emap)
-            depth, T_wc, intr, key = inp
+            depth, T_wc, intr, key, ls = inp
             return step(st, table, depth, T_wc, intr, bound_min, n_xyz,
-                        sdf_delta, key)
+                        sdf_delta, key, lr_scale=ls)
 
-        xs = ((depths, T_wcs, intrs, keys, error_maps) if error_guided
-              else (depths, T_wcs, intrs, keys))
+        xs = ((depths, T_wcs, intrs, keys, lr_scales, error_maps)
+              if error_guided else (depths, T_wcs, intrs, keys, lr_scales))
         state, ys = jax.lax.scan(body, state, xs)
         if error_guided:
             losses, emaps = ys

@@ -176,7 +176,7 @@ def make_sharded_optimize_iter(mesh: Mesh, params: Dict[str, Any],
     n_coarse = n_coarse or int(ray_max_dist * 5)
 
     def local_fn(features, weights, opt_state, table, chunk_arrays, ts_f,
-                 ts_c, T_wc, intr, bound_min, n_xyz, sdf_delta):
+                 ts_c, T_wc, intr, bound_min, n_xyz, sdf_delta, lr_scale):
         cap = features.shape[0]
         fdim = features.shape[1]
 
@@ -219,6 +219,9 @@ def make_sharded_optimize_iter(mesh: Mesh, params: Dict[str, Any],
             gidx.reshape(-1)].add(g_rows.reshape(-1, fdim), mode="drop")
         grads = jax.lax.psum(grads, axis)
         updates, opt_state = opt.update(grads, opt_state, features)
+        # exact per-iteration lr schedule hook (see optimize.py): Adam's
+        # direction is lr-independent, so scaling equals adam(lr * scale)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         features = optax.apply_updates(features, updates)
         return features, weights, opt_state, jnp.mean(losses)
 
@@ -229,12 +232,13 @@ def make_sharded_optimize_iter(mesh: Mesh, params: Dict[str, Any],
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), P(), opt_spec, table_spec, chunk_spec,
-                  P(None, axis), P(None, axis), P(), P(), P(), P(), P()),
+                  P(None, axis), P(None, axis), P(), P(), P(), P(), P(),
+                  P()),
         out_specs=(P(), P(), opt_spec, P()),
         check_vma=False)
 
     def step(state, table, depth, T_wc, intr, bound_min, n_xyz, sdf_delta,
-             key):
+             key, lr_scale: jnp.ndarray | float = 1.0):
         # identical RNG structure to the single-device step: pixel choice
         # from k_rays, then per-chunk keys each split into (fine, coarse)
         # jitter draws — drawn here at full chunk width and row-sharded
@@ -256,7 +260,7 @@ def make_sharded_optimize_iter(mesh: Mesh, params: Dict[str, Any],
         features, weights, opt_state, loss = sharded(
             state.features, state.weights, state.opt_state, table,
             chunk_arrays, ts_f, ts_c, rays.T_wc, rays.intr, bound_min,
-            n_xyz, sdf_delta)
+            n_xyz, sdf_delta, jnp.asarray(lr_scale, jnp.float32))
         return optmod.OptimState(features=features, weights=weights,
                                  opt_state=opt_state), loss
 

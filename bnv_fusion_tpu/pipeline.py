@@ -978,6 +978,7 @@ class NeuralMap:
         rng = np.random.RandomState(
             int(jax.random.randint(self._rng_key, (), 0, 2 ** 31 - 1)))
         self._rng_key, _ = jax.random.split(self._rng_key)
+        lr_scales = self._optim_lr_scales(n_iters)
         done = 0
         while done < int(n_iters):
             k = min(group, int(n_iters) - done)
@@ -985,6 +986,7 @@ class NeuralMap:
                 fis = (done + np.arange(k)) % len(frame_pool)
             else:
                 fis = rng.randint(0, len(frame_pool), size=k)
+            lss = jnp.asarray(lr_scales[done:done + k])
             depths = jnp.stack([frame_pool[i]["depth"] for i in fis])
             T_wcs = jnp.stack([frame_pool[i]["T_wc"] for i in fis])
             intrs = jnp.stack([frame_pool[i]["intr"] for i in fis])
@@ -998,25 +1000,28 @@ class NeuralMap:
                 if error_guided:
                     state, losses, new_maps = self._optim_multi(
                         state, opt_table, depths, T_wcs, intrs,
-                        self.bound_min, self.n_xyz, sdf_delta, keys, emaps)
+                        self.bound_min, self.n_xyz, sdf_delta, keys, emaps,
+                        lr_scales=lss)
                     for j, i in enumerate(fis):
                         self._error_maps[lo + i] = new_maps[j]
                 else:
                     state, losses = self._optim_multi(
                         state, opt_table, depths, T_wcs, intrs,
-                        self.bound_min, self.n_xyz, sdf_delta, keys)
+                        self.bound_min, self.n_xyz, sdf_delta, keys,
+                        lr_scales=lss)
             else:  # remainder: per-iteration launches (no extra compiles)
                 for j in range(k):
                     if error_guided:
                         state, _, new_map = self._optim_step(
                             state, opt_table, depths[j], T_wcs[j], intrs[j],
                             self.bound_min, self.n_xyz, sdf_delta, keys[j],
-                            emaps[j])
+                            emaps[j], lr_scale=lss[j])
                         self._error_maps[lo + fis[j]] = new_map
                     else:
                         state, _ = self._optim_step(
                             state, opt_table, depths[j], T_wcs[j], intrs[j],
-                            self.bound_min, self.n_xyz, sdf_delta, keys[j])
+                            self.bound_min, self.n_xyz, sdf_delta, keys[j],
+                            lr_scale=lss[j])
             done += k
             if es_on and k == group:
                 es_pending.append(losses)
@@ -1035,6 +1040,32 @@ class NeuralMap:
         # write optimized features (and bumped weights) back into the map
         self.table = self.table.replace(features=state.features,
                                         weights=state.weights)
+
+    def _optim_lr_scales(self, n_iters: int) -> np.ndarray:
+        """Per-iteration lr multipliers (``trainer.optim_lr_schedule``).
+
+        "const" (default) = the reference's fixed Adam lr
+        (run_e2e.py:118); "cosine"/"linear" decay to
+        ``trainer.optim_lr_end_frac`` x lr over the ``n_iters`` horizon
+        (the ceiling when early stopping is on).  Applied as an exact
+        per-iteration update scale (optimize.make_optimize_step lr_scale),
+        so "const" is bit-identical to the unscheduled step."""
+        sched = str(getattr(self.config.trainer, "optim_lr_schedule",
+                            "const"))
+        n = max(int(n_iters), 1)
+        if sched == "const":
+            return np.ones(n, np.float32)
+        end = float(getattr(self.config.trainer, "optim_lr_end_frac", 0.1))
+        t = np.arange(n, dtype=np.float32) / max(n - 1, 1)
+        if sched == "cosine":
+            s = end + (1.0 - end) * 0.5 * (1.0 + np.cos(np.pi * t))
+        elif sched == "linear":
+            s = 1.0 + (end - 1.0) * t
+        else:
+            raise ValueError(
+                f"unknown trainer.optim_lr_schedule: {sched!r} "
+                "(const | cosine | linear)")
+        return s.astype(np.float32)
 
     def _optimize_devices(self) -> int:
         """trainer.optimize_devices: 1 = single chip (default), N = shard
@@ -1097,6 +1128,7 @@ class NeuralMap:
         rng = np.random.RandomState(
             int(jax.random.randint(self._rng_key, (), 0, 2 ** 31 - 1)))
         self._rng_key, _ = jax.random.split(self._rng_key)
+        lr_scales = self._optim_lr_scales(n_iters)
         done = 0
         while done < int(n_iters):
             k = min(group, int(n_iters) - done)
@@ -1110,7 +1142,8 @@ class NeuralMap:
                 f = frame_pool[fis[j]]
                 state, _ = self._sharded_step(
                     state, self.table, f["depth"], f["T_wc"], f["intr"],
-                    self.bound_min, self.n_xyz, sdf_delta, keys[j])
+                    self.bound_min, self.n_xyz, sdf_delta, keys[j],
+                    lr_scale=jnp.asarray(lr_scales[done + j], jnp.float32))
             done += k
         self.last_optimize_iters = done
         self.table = self.table.replace(features=state.features,

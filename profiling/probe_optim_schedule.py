@@ -34,7 +34,20 @@ SCHEDULES = [
     (20000, 4000, 24),   # 4x rays, 5 chunks
     (20000, 2000, 24),   # 4x rays, 10 chunks
     (40000, 8000, 12),   # 8x rays, 5 chunks
+    # round-4 late: the DOWNWARD direction (only upward was probed; the
+    # 5000->10000 scaling is super-linear, so a negative intercept predicts
+    # sub-linear savings going down — measure before gating quality).
+    # n_iters here is only a timing divisor; quality is gated separately.
+    (2500, 2500, 48),    # half rays, 1 chunk
+    (2500, 500, 48),     # half rays, 5 chunks (reference chunk structure)
+    (3000, 1000, 48),    # 0.6x rays, 3 chunks
+    (5000, 5000, 48),    # control at 5000 rays, 1 chunk
 ]
+
+
+# extra config overrides (space-separated), e.g. the shipped sample counts:
+# BNV_PROBE_OVERRIDES="model.ray_tracer.n_fine=12 model.ray_tracer.n_coarse=4"
+EXTRA = os.environ.get("BNV_PROBE_OVERRIDES", "").split()
 
 
 def main(indices):
@@ -64,7 +77,7 @@ def main(indices):
             "model.max_unique_per_frame=116736",
             f"dataset.num_pixels={n_rays}",
             f"model.train_ray_splits={splits}",
-        ])
+        ] + EXTRA)
         ds = get_dataset(cfg, "val")
         frames = [ds[i] for i in range(len(ds))]
         k = 16
@@ -90,7 +103,7 @@ def main(indices):
         t = time.time() - t0
         row = {"num_pixels": n_rays, "splits": splits, "n_iters": n_iters,
                "total_s": round(t, 2), "ms_per_iter": round(1e3 * t / n_iters, 1),
-               "compile_pass_s": round(t_compile, 1)}
+               "compile_pass_s": round(t_compile, 1), "extra": EXTRA}
         print(json.dumps(row), flush=True)
         results.append(row)
     print(json.dumps({"schedules": results}))

@@ -94,6 +94,97 @@ def test_sample_count_override_dp_path(params):
     assert nm.last_optimize_iters == 4
 
 
+def test_lr_scale_equals_baked_lr(params):
+    """lr_scale=s on a step built with lr equals a step built with lr*s at
+    every iteration (Adam's update direction is lr-independent), so the
+    trainer.optim_lr_schedule hook is EXACT, not approximate."""
+    from bnv_fusion_tpu import optimize as optmod
+    from bnv_fusion_tpu import tsdf
+
+    cfg = load_config(BASE)
+    nm = NeuralMap(np.array([2.0, 2.0, 2.0], np.float32), cfg, params)
+    nm.integrate(_frame())
+    kwargs = dict(voxel_size=nm.voxel_size,
+                  min_pts_in_grid=nm.min_pts_in_grid,
+                  truncated_units=nm.truncated_units,
+                  truncated_dist=nm.truncated_dist,
+                  ray_max_dist=nm.ray_max_dist,
+                  n_rays=128, train_ray_splits=64)
+    sdf_delta = tsdf.prepare_sdf_delta(nm.tsdf_vol, nm.tsdf_voxel_size,
+                                       nm.truncated_dist,
+                                       nm.sdf_delta_weight)
+    f = nm.frames[0]
+    table = nm.table
+    # fresh feature/weight buffers per side: the step donates its state and
+    # would otherwise delete the table's own buffers between the two runs
+    o1, step1, _ = optmod.make_optimize_step(params, lr=1e-3, **kwargs)
+    o2, step2, _ = optmod.make_optimize_step(params, lr=5e-4, **kwargs)
+    s1 = optmod.init_optim_state(
+        o1, table.replace(features=table.features.copy(),
+                          weights=table.weights.copy()))
+    s2 = optmod.init_optim_state(
+        o2, table.replace(features=table.features.copy(),
+                          weights=table.weights.copy()))
+    for i in range(3):
+        k = jax.random.fold_in(jax.random.key(3), i)
+        s1, _ = step1(s1, table, f["depth"], f["T_wc"], f["intr"],
+                      nm.bound_min, nm.n_xyz, sdf_delta, k,
+                      lr_scale=jnp.float32(0.5))
+        s2, _ = step2(s2, table, f["depth"], f["T_wc"], f["intr"],
+                      nm.bound_min, nm.n_xyz, sdf_delta, k)
+    np.testing.assert_array_equal(np.asarray(s1.features),
+                                  np.asarray(s2.features))
+
+
+def test_lr_schedule_scales():
+    """_optim_lr_scales: const = exact ones; cosine/linear start at 1.0,
+    end at end_frac, decrease monotonically; unknown name raises."""
+    cfg = load_config(BASE)
+    nm = object.__new__(NeuralMap)  # only .config is read
+    nm.config = cfg
+    assert np.array_equal(nm._optim_lr_scales(5), np.ones(5, np.float32))
+
+    cfg2 = load_config(BASE + ["trainer.optim_lr_schedule=cosine",
+                               "trainer.optim_lr_end_frac=0.2"])
+    nm.config = cfg2
+    s = nm._optim_lr_scales(9)
+    assert s[0] == pytest.approx(1.0) and s[-1] == pytest.approx(0.2)
+    assert np.all(np.diff(s) < 0)
+
+    cfg3 = load_config(BASE + ["trainer.optim_lr_schedule=linear",
+                               "trainer.optim_lr_end_frac=0.5"])
+    nm.config = cfg3
+    s = nm._optim_lr_scales(5)
+    np.testing.assert_allclose(s, [1.0, 0.875, 0.75, 0.625, 0.5], rtol=1e-6)
+
+    nm.config = load_config(BASE + ["trainer.optim_lr_schedule=nope"])
+    with pytest.raises(ValueError):
+        nm._optim_lr_scales(4)
+
+
+def test_lr_schedule_through_pipeline(params):
+    """Cosine schedule end-to-end through NeuralMap.optimize, covering both
+    the grouped multi-launch path and the remainder single-step path
+    (6 iters at group 4 = one multi(4) + two singles)."""
+    cfg = load_config(BASE + ["trainer.optim_lr_schedule=cosine"])
+    nm = NeuralMap(np.array([2.0, 2.0, 2.0], np.float32), cfg, params)
+    nm.integrate(_frame())
+    nm.optimize(6, lr=1e-3)
+    assert nm.last_optimize_iters == 6
+    assert np.all(np.isfinite(np.asarray(nm.table.features)))
+
+
+def test_lr_schedule_dp_path(params):
+    """The ray-DP sharded step takes the same lr_scale hook."""
+    cfg = load_config(BASE + ["trainer.optim_lr_schedule=cosine",
+                              "trainer.optimize_devices=2"])
+    nm = NeuralMap(np.array([2.0, 2.0, 2.0], np.float32), cfg, params)
+    nm.integrate(_frame())
+    nm.optimize(4, lr=1e-3)
+    assert nm.last_optimize_iters == 4
+    assert np.all(np.isfinite(np.asarray(nm.table.features)))
+
+
 def test_early_stop_keeps_improving_runs_on(params):
     """With a real lr the loss falls early on — the monitor must not stop
     while improvement continues (relative threshold 0.5% default)."""
