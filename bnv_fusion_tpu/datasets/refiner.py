@@ -42,8 +42,10 @@ class FusionRefinerDataset(FusionInferenceDataset):
         shift = int(getattr(d, "sample_shift", 0) or 0)
         n = len(self.frame_ids)
         ids = np.arange(shift, n, max(self.skip, 1))
-        if stage not in ("train", "test"):
-            ids = ids[:2]  # reference :463: val uses the first two frames
+        if stage != "train":
+            # reference :460-463: every non-train stage (val AND test)
+            # keeps only the first two strided frames
+            ids = ids[:2]
         self.frame_ids = [self.frame_ids[i] for i in ids]
 
 

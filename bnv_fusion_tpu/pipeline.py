@@ -366,7 +366,9 @@ class NeuralMap:
             self.bound_max
 
         key = ("widthprobe", vs, n_vox,
-               np.asarray(self.bound_min).tobytes())
+               np.asarray(n_xyz).tobytes(),
+               np.asarray(self.bound_min).tobytes(),
+               np.asarray(self.bound_max).tobytes())
 
         def build():
             @jax.jit
@@ -408,7 +410,8 @@ class NeuralMap:
             return
         # detach: the table is DONATED to the next fuse launch, which
         # deletes this buffer before the lagged fetch below would read it
-        self._overflow_lag.append(self.table.overflow + 0)
+        # (jnp.sum: the spatial layout keeps a per-shard counter array)
+        self._overflow_lag.append(jnp.sum(self.table.overflow) + 0)
         depth = 0 if flush else 2
         while len(self._overflow_lag) > depth:
             val = int(np.asarray(self._overflow_lag.pop(0)))
@@ -440,12 +443,20 @@ class NeuralMap:
         self._fuse_step = None
         self._fuse_batch_steps = {}
         self._points_fuse_step = None
+        # counters already enqueued (and the table's cumulative counter
+        # itself) record drops under the OLD widths; fast-forward the
+        # monitor so they cannot trigger a second spurious widen — each
+        # widen costs a full fuse-step recompile (20-400 s remote)
+        self._overflow_lag.clear()
+        self._overflow_seen = max(
+            self._overflow_seen,
+            int(np.sum(np.asarray(self.table.overflow))))
 
     @property
     def overflow(self) -> int:
         """Total voxels/cells dropped by the static compaction widths (0 =
         every observation landed; surfaced at end of run by run_e2e)."""
-        return int(np.asarray(self.table.overflow))
+        return int(np.sum(np.asarray(self.table.overflow)))
 
     def _build_fuse_step(self, frame0=None):
         key = ("fuse1",) + self._fuse_statics_key(frame0)
@@ -797,6 +808,9 @@ class NeuralMap:
             self.table, pts, normals, valid, self.bound_min, self.bound_max)
         self.tsdf_vol = self._tsdf_prior_jit(frame)(
             self.tsdf_vol, depth, T_wc, intr)
+        if self._auto_widths:
+            self._last_staged_dev = (depth[None], T_wc[None], intr[None])
+        self._note_overflow()
         self._pending_stats.append(stats.n_avg_pts)
         self._fuse_epoch += 1
         self.frames.append({"depth": depth, "T_wc": T_wc, "intr": intr,
