@@ -95,6 +95,14 @@ def _interpolate(obj: Any, root: Dict[str, Any]) -> Any:
     return obj
 
 
+def _deep_merge(dst: Dict[str, Any], src: Dict[str, Any]) -> None:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_merge(dst[k], v)
+        else:
+            dst[k] = v
+
+
 def _load_yaml(path: str) -> Dict[str, Any]:
     with open(path, "r") as f:
         data = yaml.safe_load(f)
@@ -148,11 +156,23 @@ def load_config(
             leaf_overrides.append((key, _parse_value(value)))
 
     cfg: Dict[str, Any] = copy.deepcopy(root)
+    preset_cfg: Optional[Dict[str, Any]] = None
     for group, choice in group_choice.items():
         if choice is None:
             continue
         group_cfg = _load_yaml(os.path.join(config_dir, group, choice + ".yaml"))
+        if group == "preset":
+            # presets are CROSS-group partial configs (configs/preset/*.yaml):
+            # deep-merged over the composed tree instead of nested under a
+            # "preset" key, so one override (preset=fast_e2e) can retune
+            # model + trainer + optimizer knobs together.  Applied after all
+            # group files, before leaf overrides (user leaf sets still win).
+            preset_cfg = group_cfg
+            continue
         cfg[group] = group_cfg
+    if preset_cfg is not None:
+        _deep_merge(cfg, preset_cfg)
+        cfg["preset"] = group_choice.get("preset")
 
     for key, value in leaf_overrides:
         _set_dotted(cfg, key, value)

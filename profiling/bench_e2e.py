@@ -37,25 +37,21 @@ def main():
 
     # the canonical bench operating point (keep in sync with bench.py —
     # the quality gate validates exactly this configuration).  The optimize
-    # schedule is the round-4 tuned one (48 iters, epoch frame order,
-    # lr 2e-3, 12 fine + 4 coarse samples/ray): quality-gated at
+    # schedule is the round-4 tuned one, shipped as the production preset
+    # (configs/preset/fast_e2e.yaml: 48 iters, epoch frame order, lr 2e-3,
+    # 12 fine + 4 coarse samples/ray): quality-gated at
     # F 0.9846 @2.5cm / 0.9273 @1cm vs the reference formula's
     # 0.9935 / 0.9044 — inside the 1% parity bar at 2.5 cm and +2.5%
     # BETTER at 1 cm (RESULTS.md round-4 sweeps).  The sample-count knee:
     # n_fine=12 passes, n_fine=10 fails by 0.0001 at either coarse split;
     # coarse cuts 15 -> 4 are free (fine band supervision is load-bearing).
     cfg = load_config([
+        "preset=fast_e2e",
         "model.voxel_size=0.01",
         "dataset.num_images=48",
         "dataset.img_res=[480,640]",
         "dataset.stage_raw_depth=true",
-        "model.tsdf_every=4",
         "model.max_unique_per_frame=116736",
-        "trainer.global_steps=48",
-        "trainer.optim_frame_order=epoch",
-        "optimizer.lr.initial=0.002",
-        "model.ray_tracer.n_fine=12",
-        "model.ray_tracer.n_coarse=4",
     ] + os.environ.get("BNV_BENCH_OVERRIDES", "").split())
     params = load_pretrained("/root/reference/pretrained/pointnet_tcnn.ckpt")
     ds = get_dataset(cfg, "val")

@@ -55,3 +55,30 @@ def test_confignode_attr_access():
     with pytest.raises(AttributeError):
         _ = cfg.missing
     assert cfg.to_dict()["a"]["b"] == 1
+
+
+def test_preset_deep_merges_across_groups():
+    # preset=fast_e2e retunes model + trainer + optimizer in one override
+    # (configs/preset/fast_e2e.yaml); explicit leaf overrides still win
+    cfg = load_config(["preset=fast_e2e"])
+    assert cfg.model.tsdf_every == 4
+    assert cfg.model.ray_tracer.n_fine == 12
+    assert cfg.model.ray_tracer.n_coarse == 4
+    assert cfg.trainer.global_steps == 48
+    assert cfg.trainer.optim_frame_order == "epoch"
+    assert cfg.optimizer.lr.initial == 0.002
+    assert cfg.preset == "fast_e2e"
+    # untouched keys survive the merge
+    assert cfg.model.name == "lit_fusion_pointnet"
+    assert cfg.trainer.seed == 12345
+
+    cfg2 = load_config(["preset=fast_e2e", "trainer.global_steps=96",
+                        "model.ray_tracer.n_fine=20"])
+    assert cfg2.trainer.global_steps == 96
+    assert cfg2.model.ray_tracer.n_fine == 20
+    assert cfg2.model.ray_tracer.n_coarse == 4
+
+    # no preset: defaults untouched
+    cfg3 = load_config([])
+    assert cfg3.trainer.global_steps == 0
+    assert cfg3.get("preset") is None
