@@ -121,7 +121,7 @@ def main():
     # is free).
     timed = batches[1:]
     n_passes = int(os.environ.get("BNV_BENCH_PASSES", "3"))
-    best_dt = float("inf")
+    dts = []
     for _ in range(n_passes):
         nm_pass = NeuralMap(ds.dimensions, cfg, params)
         nm_pass.integrate_batch(batches[0])
@@ -132,9 +132,12 @@ def main():
         # off the critical path
         nm_pass.integrate_batches(timed)
         _ = np.asarray(nm_pass.table.weights[:1])
-        best_dt = min(best_dt, time.time() - t0)
+        dts.append(time.time() - t0)
         nm = nm_pass
-    fps = sum(len(b) for b in timed) / best_dt
+    n_frames = sum(len(b) for b in timed)
+    fps_passes = sorted(n_frames / dt for dt in dts)  # ascending
+    fps = fps_passes[-1]
+    fps_median = fps_passes[len(fps_passes) // 2]
 
     overflow = int(np.asarray(nm.table.overflow))
     if overflow:
@@ -148,6 +151,12 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 5.0, 3),
+        # spread over the passes: host steal on the 1-vCPU build machine
+        # only ever ADDS time, so best-of-N is the device figure and the
+        # spread quantifies how noisy this particular run was
+        "passes": [round(f, 3) for f in fps_passes],
+        "median": round(fps_median, 3),
+        "spread": round(fps_passes[-1] - fps_passes[0], 3),
     }))
     return 0
 

@@ -94,8 +94,9 @@ def main():
     # phase a lottery (measured 2-5x swings, RESULTS.md); noise only ever
     # adds time, so min-of-N is the honest figure
     n_passes = int(os.environ.get("BNV_BENCH_PASSES", "3"))
-    total = min(run(measure=True) for _ in range(n_passes))
-    fps = len(frames) / total
+    totals = [run(measure=True) for _ in range(n_passes)]
+    fps_passes = sorted(len(frames) / t for t in totals)
+    fps = fps_passes[-1]
     print(json.dumps({
         "metric": f"END-TO-END fps @ voxel {float(cfg.model.voxel_size):g}, "
                   "480x640, 48 frames (local fusion + quality-gated "
@@ -104,6 +105,9 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 5.0, 3),
+        "passes": [round(f, 3) for f in fps_passes],
+        "median": round(fps_passes[len(fps_passes) // 2], 3),
+        "spread": round(fps_passes[-1] - fps_passes[0], 3),
     }))
     return 0
 
