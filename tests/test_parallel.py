@@ -329,3 +329,58 @@ def test_neural_map_dp_fuse(rng, params):
         np.testing.assert_allclose(f2, f, rtol=5e-3, atol=1e-3)
         np.testing.assert_allclose(w2, w, rtol=1e-5)
         np.testing.assert_allclose(h2, h, rtol=1e-5)
+
+
+def test_sharded_fuse_collectives_are_compacted(params):
+    """Pin the ICI-traffic shape of make_sharded_fuse_frame (VERDICT r4
+    item 8): the all-gathered per-chip partials must be the COMPACTED
+    [U]-row arrays (D x U x (F+2) total elements), and no capacity-sized
+    collective may appear — a refactor that reintroduces the early
+    capacity-wide psum-accumulator design (parallel/dp.py:45-57) fails
+    here before it ships.
+    """
+    import re
+
+    vs, min_pts = 0.1, 2
+    feat_dims, capacity, max_unique = 8, 65536, 128
+    t = tbl.create_table(feat_dims, capacity, n_xyz=[48, 48, 48])
+    mesh = make_mesh(8)
+    n_dev = int(mesh.devices.size)
+    step = make_sharded_fuse_frame(mesh, params, vs, min_pts,
+                                   example_table=t,
+                                   max_unique=max_unique)
+    n = 512
+    pts = jnp.zeros((n, 3), jnp.float32)
+    normals = jnp.ones((n, 3), jnp.float32)
+    valid = jnp.ones((n,), bool)
+    bm = jnp.asarray(np.array([-1, -1, -1], np.float32))
+    bx = jnp.asarray(np.array([1, 1, 1], np.float32))
+    hlo = step.lower(t, pts, normals, valid, bm, bx).as_text()
+
+    # every cross-chip collective operand, by element count
+    coll = re.compile(
+        r'"?(?:stablehlo\.)?(all_gather|all_reduce|all_to_all|'
+        r'collective_permute)"?.*?tensor<([0-9x]+)')
+    sizes = []
+    for m in coll.finditer(hlo):
+        dims = [int(d) for d in m.group(2).split("x") if d]
+        n_elem = int(np.prod(dims)) if dims else 1
+        sizes.append((m.group(1), n_elem, dims))
+    assert sizes, "no collectives found — lowering format changed?"
+
+    # the largest legitimate collective is the feature-sum all-gather:
+    # U rows x F channels gathered across D chips
+    budget = n_dev * max_unique * feat_dims
+    for op, n_elem, dims in sizes:
+        assert n_elem <= budget, (
+            f"{op} moves {n_elem} elements {dims} — exceeds the compacted "
+            f"partial budget D*U*F={budget}; a capacity-wide collective "
+            f"(capacity={capacity}) has been reintroduced")
+        assert capacity not in dims and t.slot_map.shape[0] not in dims, (
+            f"{op} operand {dims} is capacity-/n_voxel-sized")
+
+    # and the compacted gathers are actually present (keys + counts + sums)
+    gathered = [s for s in sizes if s[0] == "all_gather"]
+    assert len(gathered) >= 3, (
+        f"expected >= 3 compacted all-gathers (keys/counts/sums), "
+        f"found {gathered}")
