@@ -11,9 +11,14 @@
   unbounded scenes (no n_xyz).  Its probe loops compile/run poorly on the
   tunneled TPU runtime — it is never auto-routed when bounds are known.
 
-Routing policy (big-scene story): dense < 512M voxels < blocks < 2^31;
-beyond int32 flat ids, shard the scene spatially across chips
-(bnv_fusion_tpu.parallel.spatial) — create_table raises with that advice.
+Routing policy (big-scene story, pinned by tests/test_table.py
+TestRoutingPolicy): dense < 512M voxels <= blocks < 2^31 flat ids.  The
+flat-id ceiling is int32 in EVERY bounded layout (spatial sharding,
+bnv_fusion_tpu.parallel.spatial, divides HBM across chips but keeps global
+int32 ids) — beyond it create_table raises with actionable advice
+(coarser voxels), and the only unbounded option is the hash table with its
+documented ~0.7 us/key insert cost.  The reference OOMs far earlier
+(src/scripts/run_inference_on_scannet.py:14).
 
 All expose insert/lookup/gather_values/active_entries with identical
 semantics; dispatch is static (python isinstance) so it is jit-transparent.

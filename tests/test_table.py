@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bnv_fusion_tpu import table as tbl
 
@@ -153,3 +154,49 @@ def test_unrolled_probe_matches_while_loop(rng):
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(sl1)[np.asarray(f1)],
                                   np.asarray(sl2)[np.asarray(f2)])
+
+
+class TestRoutingPolicy:
+    """The big-scene routing contract (VERDICT r4 item 7): dense < 512M
+    voxels <= blocks < 2^31 flat ids -> actionable error; the
+    open-addressing hash is ONLY ever constructed for unbounded maps
+    (n_xyz=None) — never auto-routed at frame rate when bounds exist.
+    The hash path stays as the documented correctness fallback for
+    unbounded scenes (measured ~0.7 us/key inserts either probe strategy,
+    RESULTS.md round 3 — a capability with a cost, not a hot path)."""
+
+    def test_bounded_scenes_never_route_to_hash(self):
+        from bnv_fusion_tpu import table as _hash, tables
+        from bnv_fusion_tpu import table_blocks as _blocks
+        from bnv_fusion_tpu import table_dense as _dense
+
+        t = tables.create_table(8, 1024, n_xyz=[32, 32, 32])
+        assert isinstance(t, _dense.DenseIndexedTable)
+        # past the dense map budget: block granularity
+        big = 1024  # 1024^3 = 1.07e9 > 512M, < 2^31
+        t2 = tables.create_table(8, 1024, n_xyz=[big, big, big])
+        assert isinstance(t2, _blocks.BlockIndexedTable)
+        t3 = tables.create_table(8, 1024, n_xyz=None)
+        assert isinstance(t3, _hash.SparseVoxelTable)
+
+    def test_beyond_int32_flat_ids_raises_with_advice(self):
+        from bnv_fusion_tpu import tables
+
+        with pytest.raises(ValueError, match="int32"):
+            tables.create_table(8, 1024, n_xyz=[2048, 2048, 512])
+
+    def test_block_table_works_at_near_int32_bound(self):
+        """A grid just under the 2^31 flat-id ceiling allocates and serves
+        inserts/lookups (memory is block-map-sized, not grid-sized)."""
+        from bnv_fusion_tpu import tables
+
+        n_xyz = [2048, 2048, 511]  # 2.14e9 < 2^31
+        t = tables.create_table(4, 256, n_xyz=n_xyz)
+        keys = jnp.asarray(np.array(
+            [[0, 0, 0], [2047, 2047, 510], [1000, 1500, 300]], np.int32))
+        valid = jnp.ones((3,), bool)
+        t, slots, ok = tables.insert(t, keys, valid)
+        assert bool(np.all(np.asarray(ok)))
+        s2, found = tables.lookup(t, keys)
+        assert bool(np.all(np.asarray(found)))
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(slots))
