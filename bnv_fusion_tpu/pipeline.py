@@ -948,7 +948,11 @@ class NeuralMap:
                 n_fine=int(getattr(self.config.model.ray_tracer,
                                    "n_fine", 0) or 0),
                 n_coarse=int(getattr(self.config.model.ray_tracer,
-                                     "n_coarse", 0) or 0))
+                                     "n_coarse", 0) or 0),
+                # sort-reduced cotangent accumulation (float-reassociation-
+                # only deviation, quality-gated; "scatter" = plain path)
+                grad_scatter=str(getattr(self.config.model,
+                                         "grad_scatter", "sortreduce")))
             # the step closures capture self.params -> key by identity
             key = (("optim", _params_fingerprint(self.params))
                    + tuple(sorted(kwargs.items())))

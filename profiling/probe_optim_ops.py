@@ -88,7 +88,8 @@ def main():
     cap, fdim = table.features.shape
 
     def make_variant(depth_of=True, prep_of=True, fwd=True, grad=True,
-                     tail=True, delta=True, parallel=True):
+                     tail=True, delta=True, parallel=True,
+                     bump=None, scatter=None, adam=None):
         sd = sdf_delta if delta else None
 
         def one_iter(state, inp):
@@ -139,10 +140,14 @@ def main():
                 else:
                     loss = tail_fn(gfeats)
                     g_rows = jnp.zeros_like(gfeats)
-                if tail:
+                if bump if bump is not None else tail:
                     w = fusion.bump_optim_weights(
                         table.replace(weights=w), prep.corners).weights
                 gidx = jnp.where(prep.found, prep.slots, cap)
+                if grad and not tail:
+                    # DCE guard: unconsumed cotangents would erase the
+                    # entire backward from the timed program
+                    loss = loss + jnp.sum(jnp.abs(g_rows)) * 1e-6
                 return w, (loss, gidx, g_rows)
 
             if parallel:
@@ -153,12 +158,19 @@ def main():
             else:
                 weights, ys = jax.lax.scan(chunk_body, weights, xs)
             losses, gidx, g_rows = ys
-            if tail and fwd:
+            do_scatter = (scatter if scatter is not None else tail) and fwd
+            do_adam = (adam if adam is not None else tail) and fwd
+            if do_scatter:
                 grads = jnp.zeros((cap, fdim), jnp.float32).at[
                     gidx.reshape(-1)].add(g_rows.reshape(-1, fdim),
                                           mode="drop")
-                updates, opt_state = opt.update(grads, opt_state, features)
-                features = optax.apply_updates(features, updates)
+                if do_adam:
+                    updates, opt_state = opt.update(grads, opt_state,
+                                                    features)
+                    features = optax.apply_updates(features, updates)
+                else:
+                    # DCE guard for the scatter-only variant
+                    features = features + 0.0 * grads[:features.shape[0]]
             return (features, weights, opt_state), jnp.sum(losses)
 
         @jax.jit
@@ -177,15 +189,28 @@ def main():
 
         return launch
 
-    variants = [
-        ("rays_only", make_variant(prep_of=False)),
-        ("prep", make_variant(fwd=False)),
-        ("fwd", make_variant(grad=False, tail=False)),
-        ("grad", make_variant(tail=False)),
-        ("full", make_variant()),
-        ("full_nodelta", make_variant(delta=False)),
-        ("full_seq", make_variant(parallel=False)),
-    ]
+    ladder = os.environ.get("BNV_PROBE_LADDER", "")
+    if ladder == "seq":
+        variants = [
+            ("fwd_seq", make_variant(grad=False, tail=False,
+                                     parallel=False)),
+            ("grad_seq", make_variant(tail=False, parallel=False)),
+            ("gradbump_seq", make_variant(tail=False, bump=True,
+                                          parallel=False)),
+            ("gradscat_seq", make_variant(tail=False, bump=True,
+                                          scatter=True, parallel=False)),
+            ("full_seq", make_variant(parallel=False)),
+        ]
+    else:
+        variants = [
+            ("rays_only", make_variant(prep_of=False)),
+            ("prep", make_variant(fwd=False)),
+            ("fwd", make_variant(grad=False, tail=False)),
+            ("grad", make_variant(tail=False)),
+            ("full", make_variant()),
+            ("full_nodelta", make_variant(delta=False)),
+            ("full_seq", make_variant(parallel=False)),
+        ]
 
     opt_state0 = opt.init(table.features)
     for name, fn in variants:

@@ -227,3 +227,54 @@ def test_bump_optim_weights_once_per_touch(rng):
     t2 = fusion.bump_optim_weights(t, jnp.asarray(touched))
     w = np.asarray(t2.weights)[np.asarray(slots)]
     np.testing.assert_allclose(w, [1.0, 1.0])
+
+
+def test_bump_optim_weights_slot_reuse_exact(rng):
+    """Passing decode_prepare's (slots, found) must equal the internal
+    lookup (the optimize loop reuses prep's lookup; round-5 probe)."""
+    t = tbl.create_table(256, 2)
+    coords = np.array([[1, 2, 3], [4, 5, 6]], np.int32)
+    t, _, _ = tbl.insert(t, jnp.asarray(coords), jnp.ones((2,), bool))
+    touched = jnp.asarray(np.array([[1, 2, 3]] * 3 + [[9, 9, 9]], np.int32))
+    slots, found = tbl.lookup(t, touched)
+    a = fusion.bump_optim_weights(t, touched)
+    b = fusion.bump_optim_weights(t, touched, slots=slots, found=found)
+    np.testing.assert_array_equal(np.asarray(a.weights),
+                                  np.asarray(b.weights))
+
+
+class TestScatterAddRows:
+    """scatter_add_rows: the sort-reduced cotangent accumulation must match
+    the plain scatter-add (up to float reassociation) including dropped
+    sentinel rows, and the lax.cond fallback must keep exactness when the
+    unique count exceeds the compaction budget."""
+
+    def _both(self, gidx, rows, cap, **kw):
+        a = fusion.scatter_add_rows(jnp.asarray(gidx), jnp.asarray(rows),
+                                    cap, method="scatter")
+        b = fusion.scatter_add_rows(jnp.asarray(gidx), jnp.asarray(rows),
+                                    cap, method="sortreduce", **kw)
+        return np.asarray(a), np.asarray(b)
+
+    def test_matches_plain_scatter(self, rng):
+        cap, n, f = 512, 4096, 8
+        gidx = rng.randint(0, 40, size=n).astype(np.int32)  # heavy dups
+        gidx[rng.rand(n) < 0.1] = cap                       # dropped rows
+        rows = rng.randn(n, f).astype(np.float32)
+        a, b = self._both(gidx, rows, cap)
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
+
+    def test_budget_overflow_falls_back_exactly(self, rng):
+        cap, n, f = 8192, 1024, 4
+        gidx = rng.permutation(cap)[:n].astype(np.int32)    # ALL unique
+        rows = rng.randn(n, f).astype(np.float32)
+        # budget 64 << 1024 uniques -> the cond must take the plain path
+        a, b = self._both(gidx, rows, cap, unique_budget=64)
+        np.testing.assert_array_equal(a, b)
+
+    def test_all_dropped(self):
+        cap, n, f = 64, 128, 3
+        gidx = np.full(n, cap, np.int32)
+        rows = np.ones((n, f), np.float32)
+        a, b = self._both(gidx, rows, cap)
+        assert np.all(a == 0) and np.all(b == 0)
