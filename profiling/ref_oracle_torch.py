@@ -58,13 +58,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # -- protocol ---------------------------------------------------------------
 CKPT = "/root/reference/pretrained/pointnet.ckpt"
-IMG_RES = (240, 320)
-N_FRAMES = 16
-VOXEL = 0.02
+SMOKE = os.environ.get("BNV_ORACLE_SMOKE") == "1"
+IMG_RES = (120, 160) if SMOKE else (240, 320)
+N_FRAMES = 4 if SMOKE else 16
+VOXEL = 0.04 if SMOKE else 0.02
 FEAT = 8
 MIN_PTS = 8
-N_RAYS = 1024
-RAY_SPLITS = 1024          # single chunk (reference: 1000 of 5000)
+N_RAYS = 256 if SMOKE else 1024
+RAY_SPLITS = N_RAYS          # single chunk (reference: 1000 of 5000)
 N_ITERS = N_FRAMES * 1 * 2  # run_e2e.py:284-287 with skip_images=1
 LR = 1e-3
 RAY_MAX = 3.0
