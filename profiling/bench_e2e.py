@@ -37,14 +37,15 @@ def main():
 
     # the canonical bench operating point (keep in sync with bench.py —
     # the quality gate validates exactly this configuration).  The optimize
-    # schedule is the round-4 tuned one, shipped as the production preset
-    # (configs/preset/fast_e2e.yaml: 48 iters, epoch frame order, lr 2e-3,
-    # 12 fine + 4 coarse samples/ray): quality-gated at
-    # F 0.9846 @2.5cm / 0.9273 @1cm vs the reference formula's
-    # 0.9935 / 0.9044 — inside the 1% parity bar at 2.5 cm and +2.5%
-    # BETTER at 1 cm (RESULTS.md round-4 sweeps).  The sample-count knee:
-    # n_fine=12 passes, n_fine=10 fails by 0.0001 at either coarse split;
+    # schedule is the tuned production preset (configs/preset/fast_e2e.yaml:
+    # 64 iters, epoch frame order, lr 2e-3, sequential ray chunks, 12 fine
+    # + 4 coarse samples/ray), two-scene quality-gated with >= 0.5pp margin
+    # inside the 1% parity bar (RESULTS.md round-5 sweep; demo scene
+    # F 0.9894 @2.5cm / 0.9210 @1cm vs the reference formula's
+    # 0.9935 / 0.9044).  The sample-count knee: n_fine=12 passes, 10 fails;
     # coarse cuts 15 -> 4 are free (fine band supervision is load-bearing).
+    # trainer.global_steps=48 is the fastest gate-passing point (10.18 fps
+    # best-of-3, +0.13pp margin) if you want the speed end of the curve.
     cfg = load_config([
         "preset=fast_e2e",
         "model.voxel_size=0.01",
