@@ -17,13 +17,13 @@ The cache keys triangles by their half-lattice cell.  On update:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from bnv_fusion_tpu.mesh import (Mesh, build_sample_lattice, marching_tetrahedra,
-                                 merge_vertices)
+from bnv_fusion_tpu.mesh import (Mesh, build_sample_lattice, coord_key3,
+                                 marching_tetrahedra, merge_vertices)
 
 _NEIGHBOR_OFFSETS = np.stack(
     np.meshgrid(*[[-1, 0, 1]] * 3, indexing="ij"), -1).reshape(-1, 3)
@@ -42,8 +42,14 @@ class IncrementalMesher:
         # prior cells whose value moved more than this re-mesh their voxels
         # (0.0 = exact tracking of every prior change)
         self.delta_tol = float(delta_tol)
-        # cell key (half-lattice origin tuple) -> [k, 3, 3] triangle verts
-        self._cells: Dict[Tuple[int, int, int], np.ndarray] = {}
+        # flat triangle cache: [K, 3, 3] triangle verts (lattice units) +
+        # the int64 cell key of each triangle's source half-lattice cell.
+        # (Round 5: a dict keyed by cell tuple cost 4-9 s per demo-mode
+        # event in python loops — pop over ~1.5M recomputed cells, per-cell
+        # inserts, 300k-array concat — where these two arrays update with
+        # one searchsorted mask + concat.)
+        self._tris = np.zeros((0, 3, 3), np.float32)
+        self._tri_keys = np.zeros((0,), np.int64)
         self._prev_weights: Optional[np.ndarray] = None
         self._prev_features: Optional[np.ndarray] = None
         self._prev_delta: Optional[np.ndarray] = None
@@ -111,13 +117,13 @@ class IncrementalMesher:
         changed |= self._delta_changed_voxels(sdf_delta, active_coords)
         eligible = active_weights >= min_weight
         work = active_coords[changed & eligible]
-        if len(work) == 0 and self._cells:
+        if len(work) == 0 and len(self._tris):
             return self._assemble()
 
         # include the 1-voxel neighborhood: a changed latent affects decodes
         # of any cell within one voxel
         if len(work):
-            from bnv_fusion_tpu.mesh import coord_key3, coord_unkey3
+            from bnv_fusion_tpu.mesh import coord_unkey3
 
             grown = (work[:, None, :] + _NEIGHBOR_OFFSETS[None]).reshape(-1, 3)
             # only re-mesh blocks of voxels that are active+eligible —
@@ -150,38 +156,56 @@ class IncrementalMesher:
         for s, e, out in pending:
             sdf[s:e] = np.asarray(out)[: e - s]
 
-        cell_sdf = sdf[corner_idx]
-        # same observed-crossing rule as mesh.extract_mesh(mask_sentinel=True)
-        observed = ~np.isnan(cell_sdf)
-        obs_min = np.where(observed, cell_sdf, np.inf).min(1)
-        obs_max = np.where(observed, cell_sdf, -np.inf).max(1)
-        crossing = (obs_min < 0) & (obs_max > 0)
-        cell_sdf = np.where(observed, cell_sdf, self.voxel_size)
-        out, tri_cell = marching_tetrahedra(cells[crossing],
-                                            cell_sdf[crossing],
-                                            return_cell_ids=True)
-        # every recomputed cell gets replaced (or cleared) in the cache
-        for c in map(tuple, cells):
-            self._cells.pop(c, None)
-        if len(out.vertices):
-            tris = out.vertices[out.faces]            # [K, 3, 3]
-            crossing_cells = cells[crossing]
-            order = np.argsort(tri_cell, kind="stable")
-            tri_cell_s = tri_cell[order]
-            tris_s = tris[order]
-            bounds = np.searchsorted(tri_cell_s,
-                                     np.arange(len(crossing_cells) + 1))
-            for ci in np.unique(tri_cell_s):
-                lo, hi = bounds[ci], bounds[ci + 1]
-                self._cells[tuple(crossing_cells[ci])] = tris_s[lo:hi]
+        # marching tets over the recomputed cells with per-face cell ids —
+        # the native streaming pass when available (same sentinel semantics
+        # as mesh.extract_mesh(mask_sentinel=True)), numpy fallback below
+        from bnv_fusion_tpu import native
+
+        nat = native.marching_tetrahedra_indexed_native(
+            cells, corner_idx, sdf, use_sentinel=True,
+            nan_fallback=self.voxel_size, weld_tol=0.0,
+            return_cell_ids=True)
+        if nat is not None:
+            verts, faces, tri_cell = nat
+            new_tris = verts[faces]                       # [K, 3, 3]
+            new_keys = coord_key3(cells[tri_cell])
+        else:
+            cell_sdf = sdf[corner_idx]
+            observed = ~np.isnan(cell_sdf)
+            obs_min = np.where(observed, cell_sdf, np.inf).min(1)
+            obs_max = np.where(observed, cell_sdf, -np.inf).max(1)
+            crossing = (obs_min < 0) & (obs_max > 0)
+            cell_sdf = np.where(observed, cell_sdf, self.voxel_size)
+            out, tri_cell = marching_tetrahedra(cells[crossing],
+                                                cell_sdf[crossing],
+                                                return_cell_ids=True)
+            new_tris = (out.vertices[out.faces] if len(out.vertices)
+                        else np.zeros((0, 3, 3), np.float32))
+            new_keys = (coord_key3(cells[crossing][tri_cell])
+                        if len(new_tris) else np.zeros((0,), np.int64))
+
+        # every recomputed cell gets replaced (or cleared) in the cache:
+        # drop all cached triangles whose cell was recomputed, append the
+        # fresh ones — one sorted-membership mask, no python loops
+        recomputed = np.sort(coord_key3(cells))
+        if len(self._tris) and len(recomputed):
+            pos = np.clip(np.searchsorted(recomputed, self._tri_keys),
+                          0, len(recomputed) - 1)
+            keep = recomputed[pos] != self._tri_keys
+            self._tris = self._tris[keep]
+            self._tri_keys = self._tri_keys[keep]
+        if len(new_tris):
+            self._tris = np.concatenate(
+                [self._tris, new_tris.astype(np.float32)], axis=0)
+            self._tri_keys = np.concatenate([self._tri_keys, new_keys])
         return self._assemble()
 
     def _assemble(self) -> Mesh:
-        if not self._cells:
+        if not len(self._tris):
             return Mesh(np.zeros((0, 3), np.float32),
                         np.zeros((0, 3), np.int32))
-        tris = np.concatenate(list(self._cells.values()), axis=0)
-        verts = tris.reshape(-1, 3) / 2.0 * self.voxel_size + self.min_coords
+        verts = (self._tris.reshape(-1, 3) / 2.0 * self.voxel_size
+                 + self.min_coords)
         faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
         return merge_vertices(Mesh(verts.astype(np.float32), faces),
                               self.voxel_size * self.merge_tol_factor)

@@ -50,6 +50,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             lib.mesh_ops_num_vertices.restype = ctypes.c_int64
             lib.mesh_ops_get.argtypes = [ctypes.POINTER(ctypes.c_float),
                                          ctypes.POINTER(ctypes.c_int32)]
+            lib.mesh_ops_get_face_cells.argtypes = [
+                ctypes.POINTER(ctypes.c_int64)]
             lib.mesh_ops_build_lattice.restype = ctypes.c_int64
             lib.mesh_ops_build_lattice.argtypes = [
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int]
@@ -102,7 +104,8 @@ def marching_tetrahedra_indexed_native(cells: np.ndarray,
                                        sdf: np.ndarray,
                                        use_sentinel: bool,
                                        nan_fallback: float,
-                                       weld_tol: float = 0.0):
+                                       weld_tol: float = 0.0,
+                                       return_cell_ids: bool = False):
     """Fused gather + observed-crossing gate + marching tetrahedra.
 
     Replaces mesh.extract_mesh's numpy block (``sdf[corner_idx]`` gather,
@@ -111,7 +114,9 @@ def marching_tetrahedra_indexed_native(cells: np.ndarray,
     its non-NaN corners cross the level set; NaN corners interpolate as
     ``nan_fallback`` (mesh.py mask_sentinel semantics).  Returns
     (vertices [V,3] float32 lattice units, faces [F,3] int32) or None when
-    the native library is unavailable.
+    the native library is unavailable.  With ``return_cell_ids``, a third
+    array [F] int64 gives each face's source index into ``cells`` (the
+    incremental mesher keys its triangle cache by cell).
     """
     lib = _build_and_load()
     if lib is None:
@@ -129,11 +134,18 @@ def marching_tetrahedra_indexed_native(cells: np.ndarray,
         n_verts = lib.mesh_ops_num_vertices()
         verts = np.empty((n_verts, 3), np.float32)
         faces = np.empty((n_faces, 3), np.int32)
+        face_cells = np.empty((n_faces,), np.int64)
         if n_verts:
             lib.mesh_ops_get(
                 verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if return_cell_ids:
+                lib.mesh_ops_get_face_cells(
+                    face_cells.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int64)))
         lib.mesh_ops_free()
+    if return_cell_ids:
+        return verts, faces, face_cells
     return verts, faces
 
 

@@ -277,6 +277,9 @@ struct WeldTable1 {
 struct MeshOut {
   std::vector<float> verts;
   std::vector<int32_t> faces;
+  // source cell index per face (filled by the indexed variant only; the
+  // incremental mesher keys its triangle cache by cell)
+  std::vector<int64_t> face_cells;
 };
 
 MeshOut* g_last = nullptr;
@@ -553,8 +556,17 @@ int64_t mesh_ops_marching_tets_indexed(const int64_t* cells,
       s[k] = (use_sentinel && v != v) ? nan_fallback : v;
     }
     mc_cell(cells + ci * 3, s, emit_vertex, g_last->faces);
+    g_last->face_cells.resize(g_last->faces.size() / 3, ci);
   }
   return static_cast<int64_t>(g_last->faces.size() / 3);
+}
+
+// Source cell index of every face from the last indexed extraction
+// (parallel to mesh_ops_get's faces; incremental-mesh cache keying).
+void mesh_ops_get_face_cells(int64_t* out) {
+  if (!g_last) return;
+  std::memcpy(out, g_last->face_cells.data(),
+              g_last->face_cells.size() * sizeof(int64_t));
 }
 
 int64_t mesh_ops_num_vertices() {

@@ -168,3 +168,39 @@ def test_native_indexed_matches_plain(native_ok):
             assert np.array_equal(v_ref, v_idx), (sentinel, tol)
             assert np.array_equal(f_ref, f_idx), (sentinel, tol)
         assert crossing.sum() > 100  # the fixture actually exercises the gate
+
+
+def test_native_indexed_face_cells(native_ok):
+    """Per-face source-cell ids from the indexed native MC group the same
+    triangles to the same cells as the numpy return_cell_ids path (the
+    incremental mesher keys its triangle cache by these)."""
+    rng = np.arange(-6, 6)
+    cells = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"),
+                     -1).reshape(-1, 3)
+    pr = np.arange(-6, 7)
+    pts = np.stack(np.meshgrid(pr, pr, pr, indexing="ij"), -1).reshape(-1, 3)
+    sdf = (np.linalg.norm(pts, axis=-1) - 4.0).astype(np.float32)
+    side = 13
+
+    def pid(c):
+        return ((c[..., 0] + 6) * side + (c[..., 1] + 6)) * side + (
+            c[..., 2] + 6)
+
+    corner_idx = pid(cells[:, None, :] + m._CUBE_CORNERS[None]).astype(np.int64)
+    v, f, fc = native.marching_tetrahedra_indexed_native(
+        cells, corner_idx, sdf, use_sentinel=False, nan_fallback=0.0,
+        weld_tol=0.0, return_cell_ids=True)
+    assert len(fc) == len(f)
+
+    cell_sdf = sdf[corner_idx]
+    crossing = (cell_sdf.min(1) < 0) & (cell_sdf.max(1) > 0)
+    ref, tri_cell = m.marching_tetrahedra(cells[crossing], cell_sdf[crossing],
+                                          return_cell_ids=True)
+    # same per-face source cells (native ids index ALL cells, numpy ids the
+    # crossing-compacted subset) and same triangle soup order
+    assert np.array_equal(cells[fc], cells[crossing][tri_cell])
+    assert np.allclose(ref.vertices[ref.faces], v[f])
+    # every face's triangle lies inside its cell's unit cube
+    tri = v[f]
+    lo = cells[fc][:, None, :].astype(np.float32)
+    assert (tri >= lo - 1e-5).all() and (tri <= lo + 1 + 1e-5).all()

@@ -169,3 +169,33 @@ def test_jit_memo_shared_across_instances(cfg, dataset, fused_map):
     # nm2's inputs is not possible post-optimize, so just require the shared
     # wrapper to produce finite, populated state
     assert len(k3) > 0 and np.isfinite(f3).all() and (w3 >= 0).all()
+
+
+def test_demo_mode_incremental_mesh_matches_full(fused_map):
+    """The run_e2e demo-mode flow (periodic optimize + incremental mesh,
+    reference run_e2e.py:270-280): after a warm cache AND an optimize pass
+    that touches every latent, extract_mesh_incremental returns the same
+    welded surface as a full extract_mesh.  Exercises the all-changed path
+    of the flat triangle cache (round-5 rewrite: python dict loops cost
+    4-9 s per demo event at the bench scene)."""
+    nm = fused_map
+    first = nm.extract_mesh_incremental(use_delta=True)
+    assert first is not None and len(first.vertices) > 0
+    nm.optimize(2)
+    inc = nm.extract_mesh_incremental(use_delta=True)
+    full = nm.extract_mesh(use_delta=True)
+    assert inc is not None and full is not None
+
+    def vert_set(mesh):
+        return {tuple(v) for v in np.round(mesh.vertices, 4)}
+
+    a, b = vert_set(inc), vert_set(full)
+    # welded vertex sets agree (native in-pass weld vs cache-assemble
+    # merge_vertices quantize to the same tolerance; fp noise at bin edges
+    # can move a handful of vertices by one 1e-4 round step)
+    common = len(a & b)
+    # in-pass weld picks the first vertex per quantize bin, merge_vertices
+    # the first after lexsort — at bin edges a small fraction land one
+    # 1e-4 round step apart (measured 60/27779 at this fixture)
+    assert len(a) == len(b), (len(a), len(b))
+    assert common / len(a) > 0.995, (len(a), common)
