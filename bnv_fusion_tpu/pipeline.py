@@ -1402,10 +1402,6 @@ class NeuralMap:
         """
         from bnv_fusion_tpu.incremental_mesh import IncrementalMesher
 
-        if self._spatial_mesh is not None:
-            raise NotImplementedError(
-                "incremental meshing tracks a host-side per-voxel cache and "
-                "is not wired for spatial tables — use extract_mesh")
         self._decode_jit = self._decode_for(use_delta)
         if getattr(self, "_inc_mesher", None) is None:
             self._inc_mesher = IncrementalMesher(
@@ -1416,12 +1412,22 @@ class NeuralMap:
         sdf_delta = tsdf.prepare_sdf_delta(
             self.tsdf_vol, self.tsdf_voxel_size, self.truncated_dist,
             self.sdf_delta_weight)
-        keys, feats, weights, hits, _ = tbl.active_entries(self.table)
+        if self._spatial_mesh is not None:
+            # same host-side view as extract_mesh's spatial branch: global
+            # keys/rows from the sharded slot maps, decode through the
+            # global-row table view (XLA partitions the row gathers)
+            from bnv_fusion_tpu.parallel import spatial as _sp
+            keys, feats, weights, hits = _sp.spatial_active_entries(
+                self.table, self._fuse_devices)
+            dec_table = self._spatial_view()
+        else:
+            keys, feats, weights, hits, _ = tbl.active_entries(self.table)
+            dec_table = self.table
         if bool(getattr(self.config.model, "mesh_require_observation", False)):
             # same fused-evidence gate as extract_mesh: zeroing the weight
             # keeps bump-only voxels below min_weight for the mesher
             weights = np.where(hits > 0, weights, 0.0)
-        decode_fn = partial(self._decode_jit, self.table.features, self.table,
+        decode_fn = partial(self._decode_jit, dec_table.features, dec_table,
                             sdf_delta)
         mesh = self._inc_mesher.update(
             decode_fn, keys.astype(np.int32), weights,

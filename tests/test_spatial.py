@@ -203,3 +203,38 @@ def test_neural_map_spatial_save_roundtrip(rng, params, tmp_path):
     data = load_state(str(tmp_path / "scene") + "_sparse_volume.npz")
     assert len(data["active_coordinates"]) > 0
     assert np.all(np.isfinite(data["features"]))
+
+
+def test_spatial_incremental_mesh_matches_full(rng, pretrained_tcnn_path):
+    """extract_mesh_incremental on a spatial table (demo mode at
+    beyond-one-chip-HBM scale) produces the same welded surface as a full
+    extract_mesh — the round-4 NotImplementedError hole, now wired through
+    spatial_active_entries + the global-row table view."""
+    from bnv_fusion_tpu.checkpoint import load_pretrained
+    from bnv_fusion_tpu.config import load_config
+    from bnv_fusion_tpu.pipeline import NeuralMap
+
+    params = load_pretrained(pretrained_tcnn_path)
+    cfg = load_config([
+        "model.voxel_size=0.05", "dataset.num_pixels=128",
+        "model.train_ray_splits=64", "model.table_capacity=16384",
+        "model.min_pts_in_grid=1", "model.parallel_ray_chunks=false",
+        "model.table_layout=spatial", "trainer.fuse_devices=8",
+    ])
+    nm = NeuralMap(np.array([2.0, 2.0, 2.0], np.float32), cfg, params)
+    for f in _nm_frames(np.random.RandomState(3)):
+        nm.integrate(f)
+    first = nm.extract_mesh_incremental(use_delta=True)
+    assert first is not None and len(first.vertices) > 0
+    nm.optimize(2)
+    inc = nm.extract_mesh_incremental(use_delta=True)   # all-changed path
+    full = nm.extract_mesh(use_delta=True)
+    assert inc is not None and full is not None
+    assert len(inc.vertices) == len(full.vertices), (
+        len(inc.vertices), len(full.vertices))
+    a = {tuple(v) for v in np.round(np.asarray(inc.vertices), 4)}
+    b = {tuple(v) for v in np.round(np.asarray(full.vertices), 4)}
+    # in-pass weld vs cache-assemble weld can move a handful of vertices
+    # one 1e-4 round step at quantize-bin edges (same bound as the dense
+    # demo-flow test)
+    assert len(a & b) >= 0.99 * len(a), (len(a & b), len(a))
