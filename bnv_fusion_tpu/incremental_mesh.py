@@ -17,6 +17,8 @@ The cache keys triangles by their half-lattice cell.  On update:
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Optional
 
 import jax.numpy as jnp
@@ -104,7 +106,8 @@ class IncrementalMesher:
     def update(self, decode_fn, active_coords: np.ndarray,
                active_weights: np.ndarray, active_features: np.ndarray,
                min_weight: float,
-               sdf_delta: Optional[np.ndarray] = None) -> Mesh:
+               sdf_delta: Optional[np.ndarray] = None,
+               changed_rows: Optional[np.ndarray] = None) -> Mesh:
         """Refresh the cache and return the merged mesh.
 
         ``active_*`` are the table's compacted entries in SLOT order (stable
@@ -112,11 +115,27 @@ class IncrementalMesher:
         mesh.extract_mesh.  ``min_weight`` filters voxels that can mesh.
         ``sdf_delta`` (the dense prior in DECODE units) re-meshes voxels
         whose prior moved even when their latents did not.
+
+        ``changed_rows`` (bool ``[len(active_coords)]``) supplies the
+        latent-change mask precomputed elsewhere — the pipeline diffs the
+        table ON DEVICE against a snapshot and fetches only this mask, so
+        the ``[n, F]`` feature block (the dominant tunnel transfer of an
+        event) never leaves the chip; ``active_features`` may be None then.
         """
-        changed = self._changed_slots(active_weights, active_features)
+        prof = os.environ.get("BNV_INC_PROFILE") == "1"
+        t0 = time.time()
+        if changed_rows is not None:
+            changed = np.asarray(changed_rows, bool)
+        else:
+            changed = self._changed_slots(active_weights, active_features)
         changed |= self._delta_changed_voxels(sdf_delta, active_coords)
         eligible = active_weights >= min_weight
         work = active_coords[changed & eligible]
+        if prof:
+            print(f"[inc] diff: {time.time()-t0:.2f}s changed "
+                  f"{int((changed & eligible).sum())}/{int(eligible.sum())}",
+                  flush=True)
+            t0 = time.time()
         if len(work) == 0 and len(self._tris):
             return self._assemble()
 
@@ -140,9 +159,17 @@ class IncrementalMesher:
             grown = work.astype(np.int64)
         if len(grown) == 0:
             return self._assemble()
+        if prof:
+            print(f"[inc] grow: {time.time()-t0:.2f}s grown {len(grown)}",
+                  flush=True)
+            t0 = time.time()
 
         points, corner_idx, cells = build_sample_lattice(grown.astype(np.int32))
         coords = points.astype(np.float32) / 2.0
+        if prof:
+            print(f"[inc] lattice: {time.time()-t0:.2f}s pts {len(points)} "
+                  f"cells {len(cells)}", flush=True)
+            t0 = time.time()
         # dispatch all batches before fetching (per-batch np.asarray would
         # serialize the dispatch pipeline; see mesh.extract_mesh)
         bs = self.batch_size
@@ -155,6 +182,10 @@ class IncrementalMesher:
         sdf = np.empty((len(points),), np.float32)
         for s, e, out in pending:
             sdf[s:e] = np.asarray(out)[: e - s]
+        if prof:
+            print(f"[inc] decode: {time.time()-t0:.2f}s "
+                  f"({len(pending)} batches)", flush=True)
+            t0 = time.time()
 
         # marching tets over the recomputed cells with per-face cell ids —
         # the native streaming pass when available (same sentinel semantics
@@ -198,7 +229,15 @@ class IncrementalMesher:
             self._tris = np.concatenate(
                 [self._tris, new_tris.astype(np.float32)], axis=0)
             self._tri_keys = np.concatenate([self._tri_keys, new_keys])
-        return self._assemble()
+        if prof:
+            print(f"[inc] mc+cache: {time.time()-t0:.2f}s "
+                  f"tris {len(self._tris)}", flush=True)
+            t0 = time.time()
+        out = self._assemble()
+        if prof:
+            print(f"[inc] assemble: {time.time()-t0:.2f}s "
+                  f"verts {len(out.vertices)}", flush=True)
+        return out
 
     def _assemble(self) -> Mesh:
         if not len(self._tris):

@@ -196,8 +196,27 @@ def merge_vertices(mesh: Mesh, tol: float) -> Mesh:
     if len(mesh.vertices) == 0:
         return mesh
     keys = np.round(mesh.vertices / max(tol, 1e-12)).astype(np.int64)
-    _, first_idx, inv = np.unique(keys, axis=0, return_index=True,
-                                  return_inverse=True)
+    if len(keys) and np.abs(keys).max() < (1 << 20):
+        # pack rows into one int64 (same bias/layout as coord_key3): the
+        # packing is lexicographic-monotonic, so a stable 1-D sort
+        # reproduces np.unique(axis=0)'s row order and first-occurrence
+        # indices bit-exactly at ~10x the speed (row-unique views rows as
+        # a structured dtype; it dominated demo-mode incremental mesh
+        # assembly — 3.9 s of a 6.1 s event at 5.5M vertices)
+        k = (keys[:, 0] + (1 << 20)) * (1 << 42) + \
+            (keys[:, 1] + (1 << 20)) * (1 << 21) + (keys[:, 2] + (1 << 20))
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        new_run = np.empty(len(ks), bool)
+        new_run[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=new_run[1:])
+        uid = np.cumsum(new_run) - 1
+        inv = np.empty(len(k), np.int64)
+        inv[order] = uid
+        first_idx = order[new_run]  # stable sort -> min original index
+    else:  # coordinates outside the packing range: row-unique fallback
+        _, first_idx, inv = np.unique(keys, axis=0, return_index=True,
+                                      return_inverse=True)
     verts = mesh.vertices[first_idx]
     colors = None if mesh.colors is None else mesh.colors[first_idx]
     faces = inv[mesh.faces].astype(np.int32)

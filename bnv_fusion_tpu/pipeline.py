@@ -200,6 +200,10 @@ class NeuralMap:
         # mesh-lattice prefetch is only valid for the epoch it snapshotted
         self._fuse_epoch = 0
         self._mesh_prefetch = None
+        # incremental-mesh device snapshot: (weights, num_hits, features)
+        # copies + the row count at the last extract_mesh_incremental
+        self._inc_prev = None
+        self._inc_prev_n = None
         self._fuse_step = None
         self._optim_step = None
         self._optim = None
@@ -1391,6 +1395,50 @@ class NeuralMap:
             mesh = mesh._replace(colors=np.asarray(colors))
         return mesh
 
+    def _inc_changed_mask(self) -> np.ndarray:
+        """Device-side latent-change mask for the incremental mesher.
+
+        Diffs the table's (weights, num_hits, features) against a device
+        snapshot inside one jitted program and fetches only the [n] bool
+        mask — the [n, F] feature block (the dominant tunnel transfer of a
+        demo-mode mesh event, 0.8-1.9 s measured) never leaves the chip.
+        The snapshot triple is made of jit OUTPUTS (fresh buffers, +0), so
+        holding it does not block fuse/optimize donation of the live table.
+        """
+        t = self.table
+        key = ("incdiff", t.weights.shape, t.num_hits.shape,
+               t.features.shape, str(t.features.dtype))
+
+        def build():
+            @jax.jit
+            def diff(w, h, f, pw, ph, pf):
+                changed = (w != pw) | (h != ph) | \
+                    (f != pf).any(axis=-1)
+                return changed, w + 0, h + 0, f + 0
+
+            return diff
+
+        fn = _memo(key, build)
+        prev = self._inc_prev
+        fresh = (prev is None or prev[0].shape != t.weights.shape or
+                 prev[2].shape != t.features.shape or
+                 prev[2].dtype != t.features.dtype)
+        if fresh:  # self-compare; the host mask below overrides to all-True
+            prev = (t.weights, t.num_hits, t.features)
+        mask_dev, pw, ph, pf = fn(t.weights, t.num_hits, t.features, *prev)
+        self._inc_prev = (pw, ph, pf)
+        n = int(t.n_alloc)
+        mask = np.asarray(mask_dev[:n]).copy()
+        n_prev = self._inc_prev_n
+        if fresh or n_prev is None:
+            mask[:] = True
+        elif n > n_prev:
+            # new allocations flip their corners' decode sentinel even when
+            # the slot values happen to match the snapshot's zeros
+            mask[n_prev:] = True
+        self._inc_prev_n = n
+        return mask
+
     def extract_mesh_incremental(self, use_delta: bool = True,
                                  batch_size: int = 1 << 18):
         """Demo-mode mesh preview: only re-decodes voxels whose latents OR
@@ -1402,6 +1450,8 @@ class NeuralMap:
         """
         from bnv_fusion_tpu.incremental_mesh import IncrementalMesher
 
+        prof = os.environ.get("BNV_INC_PROFILE") == "1"
+        t0 = time.time()
         self._decode_jit = self._decode_for(use_delta)
         if getattr(self, "_inc_mesher", None) is None:
             self._inc_mesher = IncrementalMesher(
@@ -1419,10 +1469,19 @@ class NeuralMap:
             from bnv_fusion_tpu.parallel import spatial as _sp
             keys, feats, weights, hits = _sp.spatial_active_entries(
                 self.table, self._fuse_devices)
+            feats = np.asarray(feats, np.float32)
+            changed_rows = None  # sharded snapshots not kept: host diff
             dec_table = self._spatial_view()
         else:
-            keys, feats, weights, hits, _ = tbl.active_entries(self.table)
+            # dense path: diff on device, fetch only the bool mask — the
+            # [n, F] feature block stays on chip (_inc_changed_mask)
+            changed_rows = self._inc_changed_mask()
+            keys, feats, weights, hits, _ = tbl.active_entries(
+                self.table, with_features=False)
             dec_table = self.table
+        if prof:
+            print(f"[inc] fetch active_entries ({len(keys)}): "
+                  f"{time.time()-t0:.2f}s", flush=True)
         if bool(getattr(self.config.model, "mesh_require_observation", False)):
             # same fused-evidence gate as extract_mesh: zeroing the weight
             # keeps bump-only voxels below min_weight for the mesher
@@ -1430,10 +1489,10 @@ class NeuralMap:
         decode_fn = partial(self._decode_jit, dec_table.features, dec_table,
                             sdf_delta)
         mesh = self._inc_mesher.update(
-            decode_fn, keys.astype(np.int32), weights,
-            np.asarray(feats, np.float32),
+            decode_fn, keys.astype(np.int32), weights, feats,
             min_weight=self.min_pts_in_grid,
-            sdf_delta=np.asarray(sdf_delta) if use_delta else None)
+            sdf_delta=np.asarray(sdf_delta) if use_delta else None,
+            changed_rows=changed_rows)
         return mesh if len(mesh.vertices) else None
 
     def save(self, path_prefix: str):
