@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bnv_fusion_tpu.mesh import (Mesh, build_sample_lattice, coord_key3,
-                                 marching_tetrahedra, merge_vertices)
+                                 marching_tetrahedra, merge_vertices,
+                                 pack_weld_keys)
 
 _NEIGHBOR_OFFSETS = np.stack(
     np.meshgrid(*[[-1, 0, 1]] * 3, indexing="ij"), -1).reshape(-1, 3)
@@ -52,6 +53,13 @@ class IncrementalMesher:
         # one searchsorted mask + concat.)
         self._tris = np.zeros((0, 3, 3), np.float32)
         self._tri_keys = np.zeros((0,), np.int64)
+        # per-vertex packed weld keys (coord_key3 layout), computed once at
+        # append time: _assemble's weld re-derived them from ALL cached
+        # triangles every event (round + pack over 5.5M vertices measured
+        # 0.6-0.8 s of a 1.1 s assemble); the math is elementwise, so
+        # packing each block at insertion is bit-identical
+        self._tri_weld = np.zeros((0, 3), np.int64)
+        self._weld_ok = True  # False: some block's coords out of packing range
         self._prev_weights: Optional[np.ndarray] = None
         self._prev_features: Optional[np.ndarray] = None
         self._prev_delta: Optional[np.ndarray] = None
@@ -225,10 +233,20 @@ class IncrementalMesher:
             keep = recomputed[pos] != self._tri_keys
             self._tris = self._tris[keep]
             self._tri_keys = self._tri_keys[keep]
+            self._tri_weld = self._tri_weld[keep]
         if len(new_tris):
-            self._tris = np.concatenate(
-                [self._tris, new_tris.astype(np.float32)], axis=0)
+            new_tris = new_tris.astype(np.float32)
+            self._tris = np.concatenate([self._tris, new_tris], axis=0)
             self._tri_keys = np.concatenate([self._tri_keys, new_keys])
+            packed = pack_weld_keys(
+                self._world_verts(new_tris),
+                self.voxel_size * self.merge_tol_factor)
+            if packed is None:
+                self._weld_ok = False
+                packed3 = np.zeros((len(new_tris), 3), np.int64)
+            else:
+                packed3 = packed.reshape(-1, 3)
+            self._tri_weld = np.concatenate([self._tri_weld, packed3])
         if prof:
             print(f"[inc] mc+cache: {time.time()-t0:.2f}s "
                   f"tris {len(self._tris)}", flush=True)
@@ -239,12 +257,24 @@ class IncrementalMesher:
                   f"verts {len(out.vertices)}", flush=True)
         return out
 
+    def _world_verts(self, tris: np.ndarray) -> np.ndarray:
+        """Lattice-unit triangle verts -> world-space float32 [3K, 3].
+
+        One shared helper so the per-block weld keys cached at append time
+        see bit-identical arithmetic to _assemble's full-cache transform."""
+        return (tris.reshape(-1, 3) / 2.0 * self.voxel_size
+                + self.min_coords).astype(np.float32)
+
     def _assemble(self) -> Mesh:
         if not len(self._tris):
             return Mesh(np.zeros((0, 3), np.float32),
                         np.zeros((0, 3), np.int32))
-        verts = (self._tris.reshape(-1, 3) / 2.0 * self.voxel_size
-                 + self.min_coords)
+        verts = self._world_verts(self._tris)
         faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
-        return merge_vertices(Mesh(verts.astype(np.float32), faces),
-                              self.voxel_size * self.merge_tol_factor)
+        # weld keys were packed per appended block (elementwise math, so
+        # bit-identical to packing the whole cache here) — skips the
+        # round+pack pass, 0.6-0.8 s of a 1.1 s assemble at 5.5M verts
+        packed = self._tri_weld.reshape(-1) if self._weld_ok else None
+        return merge_vertices(Mesh(verts, faces),
+                              self.voxel_size * self.merge_tol_factor,
+                              packed_keys=packed)

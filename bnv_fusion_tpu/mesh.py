@@ -187,24 +187,52 @@ def post_process_mesh(mesh: Mesh, vertex_threshold: float,
     return laplacian_smooth(out, smooth_iterations)
 
 
-def merge_vertices(mesh: Mesh, tol: float) -> Mesh:
+def pack_weld_keys(vertices: np.ndarray, tol: float) -> Optional[np.ndarray]:
+    """Precompute merge_vertices' packed int64 weld keys for ``vertices``.
+
+    Returns ``None`` when any rounded coordinate falls outside the +-2**20
+    packing range (callers must then take merge_vertices' row-unique
+    fallback).  The math is elementwise per vertex, so keys computed over
+    any partition of the vertex set (e.g. per appended triangle block in
+    IncrementalMesher) are bit-identical to computing them over the whole
+    set at weld time."""
+    keys = np.round(vertices / max(tol, 1e-12)).astype(np.int64)
+    if len(keys) and np.abs(keys).max() >= (1 << 20):
+        return None
+    return (keys[:, 0] + (1 << 20)) * (1 << 42) + \
+        (keys[:, 1] + (1 << 20)) * (1 << 21) + (keys[:, 2] + (1 << 20))
+
+
+def merge_vertices(mesh: Mesh, tol: float,
+                   packed_keys: Optional[np.ndarray] = None) -> Mesh:
     """Weld vertices within ``tol`` (grid rounding) and drop degenerate faces.
 
     Replacement for open3d merge_close_vertices + cleanup
     (reference src/utils/o3d_helper.py:220-241).
+
+    ``packed_keys`` (int64 ``[len(vertices)]``) supplies precomputed
+    pack_weld_keys output — skips the round+pack pass (0.6-0.8 s of a
+    1.1 s demo-mode assemble at 5.5M vertices); the caller guarantees it
+    equals ``pack_weld_keys(mesh.vertices, tol)`` (in particular, in-range).
     """
     if len(mesh.vertices) == 0:
         return mesh
-    keys = np.round(mesh.vertices / max(tol, 1e-12)).astype(np.int64)
-    if len(keys) and np.abs(keys).max() < (1 << 20):
+    if packed_keys is None:
+        keys = np.round(mesh.vertices / max(tol, 1e-12)).astype(np.int64)
+    else:
+        keys = None
+    if packed_keys is not None or np.abs(keys).max() < (1 << 20):
         # pack rows into one int64 (same bias/layout as coord_key3): the
         # packing is lexicographic-monotonic, so a stable 1-D sort
         # reproduces np.unique(axis=0)'s row order and first-occurrence
         # indices bit-exactly at ~10x the speed (row-unique views rows as
         # a structured dtype; it dominated demo-mode incremental mesh
         # assembly — 3.9 s of a 6.1 s event at 5.5M vertices)
-        k = (keys[:, 0] + (1 << 20)) * (1 << 42) + \
-            (keys[:, 1] + (1 << 20)) * (1 << 21) + (keys[:, 2] + (1 << 20))
+        if packed_keys is not None:
+            k = packed_keys
+        else:
+            k = (keys[:, 0] + (1 << 20)) * (1 << 42) + \
+                (keys[:, 1] + (1 << 20)) * (1 << 21) + (keys[:, 2] + (1 << 20))
         order = np.argsort(k, kind="stable")
         ks = k[order]
         new_run = np.empty(len(ks), bool)

@@ -129,6 +129,55 @@ def test_prior_change_triggers_remesh():
     assert abs(r.mean() - 0.52) < 0.01
 
 
+def test_cached_weld_keys_bit_identical():
+    """The per-block weld keys cached at append time must reproduce the
+    recompute-at-assemble weld bit-exactly (incl. after a partial update
+    that drops + re-appends cache rows)."""
+    vs, mn, active, decode_a = _setup(0.5)
+    weights = np.full(len(active), 8.0, np.float32)
+    feats = np.zeros((len(active), 4), np.float32)
+    inc = IncrementalMesher(mn, vs)
+    inc.update(decode_a, active, weights, feats, min_weight=1.0)
+    _, _, _, decode_b = _setup(0.52)
+    feats2 = feats.copy()
+    feats2[active[:, 0] >= 20, 1] += 1.0
+    got = inc.update(decode_b, active, weights, feats2, min_weight=1.0)
+
+    assert inc._weld_ok
+    # cached keys equal a fresh pack over the full cache
+    fresh = m.pack_weld_keys(inc._world_verts(inc._tris),
+                             vs * inc.merge_tol_factor)
+    np.testing.assert_array_equal(inc._tri_weld.reshape(-1), fresh)
+    # and the assembled mesh equals the no-cache weld bit-exactly
+    verts = inc._world_verts(inc._tris)
+    faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
+    plain = m.merge_vertices(m.Mesh(verts, faces), vs * inc.merge_tol_factor)
+    np.testing.assert_array_equal(got.vertices, plain.vertices)
+    np.testing.assert_array_equal(got.faces, plain.faces)
+
+
+def test_weld_out_of_range_falls_back():
+    """Coordinates beyond the +-2**20 packing range disable the cached-key
+    path but still weld correctly via the row-unique fallback."""
+    vs = 1.0  # tol = 0.25 -> round(verts/0.25) exceeds 2**20 at 300k units
+    mn = np.array([3.0e5, 0.0, 0.0], np.float32)
+    inc = IncrementalMesher(mn, vs)
+    tris = np.array([[[0, 0, 0], [2, 0, 0], [0, 2, 0]],
+                     [[0, 0, 0], [0, 2, 0], [0, 0, 2]]], np.float32)
+    keys = np.zeros(2, np.int64)
+    inc._tris = np.zeros((0, 3, 3), np.float32)
+    # drive the append path directly
+    packed = m.pack_weld_keys(inc._world_verts(tris), vs * 0.25)
+    assert packed is None
+    inc._tris = tris
+    inc._tri_keys = keys
+    inc._weld_ok = False
+    out = inc._assemble()
+    # shared vertices welded: 6 raw verts -> 4 unique
+    assert len(out.vertices) == 4
+    assert len(out.faces) == 2
+
+
 def test_prior_unchanged_no_remesh():
     vs, mn, active, decode_fn = _setup(0.5)
     n_xyz = np.array([40, 40, 40])
