@@ -204,6 +204,9 @@ class IncrementalMesher:
             cells, corner_idx, sdf, use_sentinel=True,
             nan_fallback=self.voxel_size, weld_tol=0.0,
             return_cell_ids=True)
+        if prof:
+            print(f"[inc]   mc: {time.time()-t0:.2f}s", flush=True)
+            t_mc = time.time()
         if nat is not None:
             verts, faces, tri_cell = nat
             new_tris = verts[faces]                       # [K, 3, 3]
@@ -226,6 +229,10 @@ class IncrementalMesher:
         # every recomputed cell gets replaced (or cleared) in the cache:
         # drop all cached triangles whose cell was recomputed, append the
         # fresh ones — one sorted-membership mask, no python loops
+        if prof:
+            print(f"[inc]   tris build: {time.time()-t_mc:.2f}s "
+                  f"new {len(new_tris)}", flush=True)
+            t_mc = time.time()
         recomputed = np.sort(coord_key3(cells))
         if len(self._tris) and len(recomputed):
             pos = np.clip(np.searchsorted(recomputed, self._tri_keys),

@@ -64,10 +64,13 @@ def main(argv=None):
     skip = int(getattr(cfg.dataset, "skip_images", 1)) or 1
 
     # throughput mode: fuse K frames per device launch (identical sequential
-    # semantics; amortizes dispatch overhead).  Demo mode stays per-frame so
-    # periodic optimization interleaves at the right boundaries.
+    # semantics; amortizes the ~65 ms/launch dispatch overhead).  In demo
+    # mode the merge window is bounded at every optimize/mesh event frame so
+    # periodic optimization still sees the exact prefix of the stream (mesh
+    # staleness bounded by K frames; pick K dividing optim_interval to keep
+    # the flush sizes — and so the compiled fuse programs — to {1, K}).
     batch_k = int(getattr(cfg.model, "integrate_batch_size", 1))
-    use_batch = batch_k > 1 and not demo_mode
+    use_batch = batch_k > 1
     pending = []
 
     # live monitoring (the reference's optional pangolin window,
@@ -86,8 +89,12 @@ def main(argv=None):
         nmap.timer.start("local")
         if use_batch:
             pending.append(frame)
-            if len(pending) == batch_k or idx == len(dataset) - 1:
-                nmap.integrate_batch(pending)
+            if (len(pending) == batch_k or idx == len(dataset) - 1
+                    or (demo_mode and idx % optim_interval == 0)):
+                if len(pending) == 1:  # reuse the per-frame program
+                    nmap.integrate(pending[0])
+                else:
+                    nmap.integrate_batch(pending)
                 pending = []
         else:
             nmap.integrate(frame)

@@ -8,11 +8,20 @@ the first time: per-frame latency distribution (fuse + any optimize/mesh
 event that frame) and sustained fps over the stream.
 
 Protocol: the bench operating point (voxel 0.01, 480x640, 48 frames,
-fast_e2e preset schedule for the periodic optimize), per-frame integrate
-(demo mode is latency-bound, not throughput-bound — no K-frame merging),
+fast_e2e preset schedule for the periodic optimize), per-frame integrate,
 optimize+incremental-mesh every ``optim_interval`` frames using the
 reference's n_iters formula min(n_frames, interval) * skip, plus the final
 optimize + full mesh.  Warmup pass excludes compiles.
+
+Fuse launches are dispatched ASYNC and drained at each optimize/mesh event
+(the reference's torch-CUDA stream behaves the same way — no per-frame
+device sync exists in its loop, reference run_e2e.py:241-268); the
+map consumer in demo mode is the periodic mesh, so the event is the
+semantically meaningful sync point.  BNV_DEMO_SYNC=1 restores the per-frame
+drain (measures the serialized per-launch latency: ~65 ms dispatch + ~50 ms
+device on this runtime).  BNV_DEMO_BATCH_K=k fuses the stream in k-frame
+merged launches (bit-identical table per RESULTS round 2; mesh staleness
+bounded by k frames) — the dispatch-amortized online point.
 
 Prints one JSON line {metric, value, unit, vs_baseline, p50_ms, p90_ms,
 max_ms, events}.
@@ -59,16 +68,35 @@ def main():
     skip = int(getattr(cfg.dataset, "skip_images", 1)) or 1
     lr = float(cfg.optimizer.lr.initial)
 
+    per_frame_sync = os.environ.get("BNV_DEMO_SYNC") == "1"
+    batch_k = int(os.environ.get("BNV_DEMO_BATCH_K", "1"))
+
     def run(measure):
         nm = NeuralMap(ds.dimensions, cfg, params)
         lat, events = [], []
         t_start = time.time()
-        for idx, f in enumerate(frames):
+        idx = 0
+        while idx < len(frames):
             t0 = time.time()
-            nm.integrate(f)
-            # drain the async queue so the latency is honest (the axon
-            # backend's block_until_ready does not block)
-            _ = np.asarray(nm.table.weights[:1])
+            # the next event boundary bounds the merge window: the table
+            # must be final at every event frame
+            next_event = idx if idx % interval == 0 else \
+                (idx // interval + 1) * interval
+            if batch_k > 1 and idx != next_event:
+                k = min(batch_k, min(next_event, len(frames)) - idx)
+                if k == 1:  # reuse the per-frame program
+                    nm.integrate(frames[idx])
+                else:
+                    nm.integrate_batch(frames[idx:idx + k])
+                step = k
+            else:
+                nm.integrate(frames[idx])
+                step = 1
+            if per_frame_sync:
+                # serialized per-launch latency (the axon backend's
+                # block_until_ready does not block; fetch a scalar-sized
+                # slice to drain)
+                _ = np.asarray(nm.table.weights[:1])
             if idx % interval == 0 and nm.frames:
                 last = max(0, len(nm.frames) - interval)
                 n_iters = min(len(nm.frames), interval) * skip
@@ -82,7 +110,9 @@ def main():
                     "optimize_ms": round((t2 - t1) * 1e3, 1),
                     "mesh_ms": round((time.time() - t2) * 1e3, 1),
                     "verts": 0 if m is None else len(m.vertices)})
-            lat.append(time.time() - t0)
+            # per-frame wall of the group (amortized for merged launches)
+            lat.extend([(time.time() - t0) / step] * step)
+            idx += step
         # final optimize + full mesh (reference tail, run_e2e.py:281-296;
         # demo mode formula: n_frames * skip, NOT doubled)
         t1 = time.time()
@@ -108,9 +138,11 @@ def main():
     total, lat, events = best
     lat_ms = np.asarray(lat) * 1e3
     fps_passes = sorted(len(frames) / r[0] for r in results)
+    mode = ("sync" if per_frame_sync else
+            f"batch{batch_k}" if batch_k > 1 else "async")
     print(json.dumps({
         "metric": "DEMO-MODE (online) fps @ voxel 0.01, 480x640, 48 frames "
-                  f"(per-frame fuse + optimize/incremental-mesh every "
+                  f"({mode} fuse + optimize/incremental-mesh every "
                   f"{interval} frames + final optimize/mesh; vs reference's "
                   "2-5 fps end-to-end claim)",
         "value": round(fps_passes[-1], 3),
